@@ -1,0 +1,148 @@
+"""Typed pytree configs for the whole framework.
+
+Reference parity: the reference keeps all of these as loose constants at the
+top of ``main.py`` and as ctor args (SURVEY.md §5 "Config / flag system",
+§2 "Experiment driver"). Here they are frozen ``flax.struct`` dataclasses:
+numeric fields are pytree leaves (so they can be vmapped/sharded — e.g. a
+batch of ``VehicleParams`` with different friction mu is just a stacked
+pytree), while structural fields (horizon N, dims, iteration counts) are
+static aux data so they stay concrete under ``jit``.
+
+Precision policy: float32 everywhere by default; the CPU oracle runs float64
+(``jax_enable_x64`` is not required — the oracle is plain numpy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class VehicleParams:
+    """Dynamic-bicycle vehicle parameters (1:10 BARC-style car).
+
+    All leaves are floats => a batch of cars (e.g. a friction sweep,
+    BASELINE.json config 4) is just ``jax.tree.map(stack, [p1, p2, ...])``.
+    """
+
+    m: float = 2.424        # mass [kg]
+    Iz: float = 0.02        # yaw inertia [kg m^2]
+    lf: float = 0.125       # CoG -> front axle [m]
+    lr: float = 0.125       # CoG -> rear axle [m]
+    Cf: float = 57.5        # front cornering stiffness [N/rad]
+    Cr: float = 67.5        # rear cornering stiffness [N/rad]
+    mu: float = 1.0         # tire-road friction coefficient [-]
+    g: float = 9.81         # gravity [m/s^2]
+    # simple longitudinal resistance: F_drag = cd0 * sign(vx) + cd1 * vx
+    cd0: float = 0.0
+    cd1: float = 0.0
+
+    @property
+    def wheelbase(self) -> float:
+        return self.lf + self.lr
+
+
+@struct.dataclass
+class MPCWeights:
+    """Quadratic tracking weights (diagonals).
+
+    Reference parity: Q, R, dR matrices built in the MPC ctor
+    (SURVEY.md §2 "Tracking MPC").  ``q_*`` are per-state weights in the
+    order of the model's state vector; ``r`` penalizes inputs, ``dr``
+    penalizes input rates (Delta-u).
+    """
+
+    q: Tuple[float, ...] = (120.0, 1.0, 1.0, 70.0, 0.0, 100.0)
+    r: Tuple[float, ...] = (1.0, 1.0)
+    dr: Tuple[float, ...] = (30.0, 15.0)
+
+    def q_array(self) -> jnp.ndarray:
+        return jnp.asarray(self.q, dtype=jnp.float32)
+
+    def r_array(self) -> jnp.ndarray:
+        return jnp.asarray(self.r, dtype=jnp.float32)
+
+    def dr_array(self) -> jnp.ndarray:
+        return jnp.asarray(self.dr, dtype=jnp.float32)
+
+
+@struct.dataclass
+class MPCBounds:
+    """Box bounds on states / inputs / input rates.
+
+    Reference parity: |e_y| <= half track width, vx range, |delta| <= ~0.25
+    rad, accel range, Delta-u rate bounds (SURVEY.md §2 "Tracking MPC").
+    """
+
+    vx_min: float = 0.2
+    vx_max: float = 4.0
+    ey_max: float = 0.4          # half track width [m]
+    delta_max: float = 0.30      # |steering| [rad]
+    a_min: float = -2.0          # accel [m/s^2]
+    a_max: float = 3.0
+    ddelta_max: float = 0.60     # |Delta delta| per step [rad]
+    da_max: float = 3.0          # |Delta a| per step [m/s^2]
+
+
+@struct.dataclass
+class MPCConfig:
+    """Horizon / timing / model-mode config for the tracking MPC."""
+
+    N: int = struct.field(pytree_node=False, default=12)   # horizon length
+    dt: float = struct.field(pytree_node=False, default=1.0 / 30.0)
+    model: str = struct.field(pytree_node=False, default="dynamic")  # "dynamic"|"kinematic"
+    tire: str = struct.field(pytree_node=False, default="linear")    # "linear"|"pacejka"
+    # "lpv": reference semantics — A(theta), B(theta) used directly, no affine
+    #        term (SURVEY.md §2 "LPV model builder").
+    # "ltv": Jacobian linearization with affine residual (successive
+    #        linearization / SQP mode) — strictly more accurate, non-reference.
+    linearization: str = struct.field(pytree_node=False, default="lpv")
+    weights: MPCWeights = dataclasses.field(default_factory=MPCWeights)
+    bounds: MPCBounds = dataclasses.field(default_factory=MPCBounds)
+
+
+@struct.dataclass
+class SolverConfig:
+    """Batched ADMM (OSQP semantics) + Riccati x-update solver config.
+
+    Mirrors OSQP's algorithm parameters (rho, sigma, alpha relaxation,
+    eps_abs/eps_rel termination — SURVEY.md §3.2) for the box-constraint
+    splitting; the equality (dynamics) block is solved exactly each
+    iteration by a Riccati sweep, so there is no rho_eq.
+    """
+
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6            # over-relaxation
+    max_iter: int = struct.field(pytree_node=False, default=50)
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    # every `rho_interval` iterations rho is rescaled from the residual ratio
+    # (OSQP's adaptive rho); 0 disables.
+    rho_interval: int = struct.field(pytree_node=False, default=10)
+    # "scan": sequential Riccati via lax.scan (lowest latency, small N)
+    # "assoc": parallel-in-horizon via lax.associative_scan (long horizons /
+    #          horizon-sharded mode) — SURVEY.md §2.2 "Horizon parallelism".
+    riccati: str = struct.field(pytree_node=False, default="scan")
+    # single-solve path: early-exit while_loop on termination check;
+    # batched path: fixed iteration count (static shapes). SURVEY.md §7 L4.
+    check_termination: int = struct.field(pytree_node=False, default=5)
+
+
+@struct.dataclass
+class MeshConfig:
+    """Device-mesh layout for scenario-parallel / horizon-parallel runs.
+
+    SURVEY.md §2.2: axis "scenarios" is the DP-analog (embarrassingly
+    parallel scenario batch), axis "horizon" shards horizon blocks for the
+    collective block-reduction mode.
+    """
+
+    scenario_axis: str = struct.field(pytree_node=False, default="scenarios")
+    horizon_axis: str = struct.field(pytree_node=False, default="horizon")
+    n_scenario: int = struct.field(pytree_node=False, default=1)
+    n_horizon: int = struct.field(pytree_node=False, default=1)

@@ -1,0 +1,170 @@
+"""Horizon scheduling + block-structured QP assembly.
+
+Reference parity (SURVEY.md §3.1-§3.2): each control step the reference
+evaluates the LPV (A_k, B_k) at N points along the *previous* predicted
+trajectory (quasi-LPV successive scheduling), then assembles sparse
+P, q, A, l, u for OSQP. Here the assembly is block-structured (never
+scipy-sparse): a ``vmap`` over the horizon produces stacked (N, ., .)
+stage tensors that feed the Riccati/ADMM solver directly — this is the
+layout that maps onto TPU batched einsums (SURVEY.md §7 L3).
+
+Delta-u costs and rate bounds couple consecutive controls; they are made
+stage-separable by augmenting the state with the previous control:
+
+    xa_k = (x_k, u_{k-1}),   xa_{k+1} = [[A,0],[0,0]] xa_k + [[B],[I]] u_k
+
+so Delta-u_k = u_k - xa_k[nx:] is a stage-local linear function. Constraint
+rows per stage (nc = 6): vx box, e_y corridor, delta box, a box,
+Delta-delta box, Delta-a box (SURVEY.md §2 "Tracking MPC").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import MPCConfig, VehicleParams
+from ..models import discretize_euler, f_model, lpv_ab, ltv_abc, model_nx
+from ..models.dynamics import NU
+from ..solver.admm import BoxQP
+from ..solver.riccati import LQRCost, LQRDynamics
+from ..track.track import Track, curvature_at
+
+N_CON = 6  # constraint rows per stage
+
+
+def state_indices(model: str) -> Tuple[int, int]:
+    """(vx_idx, ey_idx) in the model's state vector."""
+    if model == "dynamic":
+        return 0, 5
+    if model == "kinematic":
+        return 0, 3
+    raise ValueError(model)
+
+
+def aug_dim(model: str) -> int:
+    return model_nx(model) + NU
+
+
+def shift_schedule(X_prev: jnp.ndarray, U_prev: jnp.ndarray):
+    """Shift the previous solution one step (warm scheduling, SURVEY.md §3.2)."""
+    X = jnp.concatenate([X_prev[1:], X_prev[-1:]], axis=0)
+    U = jnp.concatenate([U_prev[1:], U_prev[-1:]], axis=0)
+    return X, U
+
+
+def initial_schedule(
+    p: VehicleParams, cfg: MPCConfig, track: Track, x0: jnp.ndarray, u0: jnp.ndarray
+):
+    """Constant-input nonlinear rollout used before a first solution exists."""
+
+    def step(x, _):
+        kap = curvature_at(track, x[_s_index(cfg.model)])
+        xn = x + cfg.dt * f_model(p, x, u0, kap, cfg.model, cfg.tire)
+        return xn, xn
+
+    _, Xs = jax.lax.scan(step, x0, None, length=cfg.N)
+    X = jnp.concatenate([x0[None], Xs], axis=0)
+    U = jnp.tile(u0[None], (cfg.N, 1))
+    return X, U
+
+
+def _s_index(model: str) -> int:
+    return 4 if model == "dynamic" else 2
+
+
+def build_boxqp(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    track: Track,
+    x0: jnp.ndarray,          # (nx,) current (un-augmented) state
+    u_prev: jnp.ndarray,      # (nu,) last applied control
+    X_sched: jnp.ndarray,     # (N+1, nx) scheduling trajectory
+    U_sched: jnp.ndarray,     # (N, nu)
+    x_ref: jnp.ndarray,       # (N+1, nx) tracking reference
+) -> BoxQP:
+    """Assemble the block-structured MPC QP on the augmented state."""
+    N = cfg.N
+    nx = model_nx(cfg.model)
+    na = nx + NU
+    dt = cfg.dt
+    f32 = X_sched.dtype
+
+    # --- scheduled stage matrices (vmap over the horizon = the N model
+    # evaluations of SURVEY.md §3.1, batched instead of a Python loop) ---
+    s_idx = _s_index(cfg.model)
+    kappas = curvature_at(track, X_sched[:N, s_idx])
+
+    if cfg.linearization == "lpv":
+        def stage(xk, uk, kap):
+            A, B = lpv_ab(p, xk, uk, kap, cfg.model)
+            Ad, Bd = discretize_euler(A, B, dt)
+            return Ad, Bd, jnp.zeros((nx,), f32)
+    else:
+        def stage(xk, uk, kap):
+            A, B, c = ltv_abc(p, xk, uk, kap, cfg.model, cfg.tire)
+            return discretize_euler(A, B, dt, c)
+
+    Ad, Bd, cd = jax.vmap(stage)(X_sched[:N], U_sched, kappas)
+
+    # --- augmentation: xa = (x, u_prev) ---
+    Aa = jnp.zeros((N, na, na), f32).at[:, :nx, :nx].set(Ad)
+    Ba = jnp.zeros((N, na, NU), f32).at[:, :nx, :].set(Bd)
+    Ba = Ba.at[:, nx:, :].set(jnp.eye(NU, dtype=f32))
+    ca = jnp.zeros((N, na), f32).at[:, :nx].set(cd)
+
+    # --- cost ---
+    w = cfg.weights
+    Qd = jnp.asarray(w.q, f32)[:nx]
+    Rd = jnp.diag(jnp.asarray(w.r, f32))
+    dR = jnp.diag(jnp.asarray(w.dr, f32))
+
+    Q1 = jnp.zeros((na, na), f32).at[:nx, :nx].set(jnp.diag(Qd))
+    Q_stage = Q1.at[nx:, nx:].set(dR)          # + Delta-u quadratic in u_prev
+    Q = jnp.tile(Q_stage[None], (N + 1, 1, 1))
+    Q = Q.at[N].set(Q1)                        # terminal: tracking only
+    R = jnp.tile((Rd + dR)[None], (N, 1, 1))
+    M_stage = jnp.zeros((na, NU), f32).at[nx:, :].set(-dR)
+    M = jnp.tile(M_stage[None], (N, 1, 1))
+
+    qlin = jnp.zeros((N + 1, na), f32).at[:, :nx].set(-(x_ref * Qd[None, :]))
+    rlin = jnp.zeros((N, NU), f32)
+
+    # --- constraint rows ---
+    b = cfg.bounds
+    vx_i, ey_i = state_indices(cfg.model)
+    Dx = jnp.zeros((N_CON, na), f32)
+    Du = jnp.zeros((N_CON, NU), f32)
+    Dx = Dx.at[0, vx_i].set(1.0)
+    Dx = Dx.at[1, ey_i].set(1.0)
+    Du = Du.at[2, 0].set(1.0)
+    Du = Du.at[3, 1].set(1.0)
+    Dx = Dx.at[4, nx + 0].set(-1.0)
+    Du = Du.at[4, 0].set(1.0)
+    Dx = Dx.at[5, nx + 1].set(-1.0)
+    Du = Du.at[5, 1].set(1.0)
+
+    lo = jnp.asarray(
+        [b.vx_min, -b.ey_max, -b.delta_max, b.a_min, -b.ddelta_max, -b.da_max], f32
+    )
+    hi = jnp.asarray(
+        [b.vx_max, b.ey_max, b.delta_max, b.a_max, b.ddelta_max, b.da_max], f32
+    )
+    lb = jnp.tile(lo[None], (N + 1, 1))
+    ub = jnp.tile(hi[None], (N + 1, 1))
+    inf = jnp.asarray(jnp.inf, f32)
+    # stage 0: state rows are constants (x0 fixed) -> disabled
+    lb = lb.at[0, :2].set(-inf)
+    ub = ub.at[0, :2].set(inf)
+    # terminal: no u_N -> input/rate rows disabled
+    lb = lb.at[N, 2:].set(-inf)
+    ub = ub.at[N, 2:].set(inf)
+
+    xa0 = jnp.concatenate([x0, u_prev], axis=0)
+    return BoxQP(
+        dyn=LQRDynamics(Aa, Ba, ca),
+        cost=LQRCost(Q, qlin, R, rlin, M),
+        Dx=Dx, Du=Du, lb=lb, ub=ub, x0=xa0,
+    )

@@ -1,0 +1,181 @@
+"""Track geometry: segment spec -> dense arc-length table + Frenet transforms.
+
+Reference parity (SURVEY.md §2 "Track / Map", §3.4): the reference ``Map``
+class stores the track as ordered ``(length, curvature)`` segments and does
+branchy per-segment searches for ``getGlobalPosition(s, e_y)`` /
+``getLocalPosition(X, Y, psi)`` / ``curvature(s)``.
+
+TPU-native redesign: the segment spec is *compiled once* (host-side numpy)
+into a dense uniform-:math:`\\Delta s` table ``(s, kappa, X, Y, psi)``.  All
+runtime queries are then branch-free index arithmetic + gathers, so they
+``jit``/``vmap``/``scan`` cleanly with static shapes:
+
+- ``curvature_at``    : floor-divide into the table (piecewise-constant kappa,
+                        matching the reference's segment model).
+- ``centerline_pose`` : linear interpolation of (X, Y, unwrapped psi).
+- ``frenet_to_global``: centerline pose + lateral offset along the normal.
+- ``global_to_frenet``: dense argmin over the table + tangent projection
+                        refinement (replaces the reference's per-segment
+                        iterative search).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Track:
+    """Compiled track: uniform arc-length table. All fields are pytree leaves.
+
+    ``kappa[i]`` is the curvature of the cell ``[i*ds, (i+1)*ds)``;
+    ``X/Y/psi[i]`` is the centerline pose at ``s = i*ds`` (psi unwrapped,
+    monotone accumulation so linear interpolation is safe). The table has
+    ``n + 1`` pose rows (the last one closes the loop at ``s = length``).
+    """
+
+    ds: jnp.ndarray          # scalar grid pitch [m]
+    length: jnp.ndarray      # scalar total length [m]
+    width: jnp.ndarray       # scalar full track width [m] (corridor = +-w/2)
+    kappa: jnp.ndarray       # (n,) per-cell curvature [1/m]
+    X: jnp.ndarray           # (n+1,) centerline X at grid nodes
+    Y: jnp.ndarray           # (n+1,)
+    psi: jnp.ndarray         # (n+1,) unwrapped heading at grid nodes
+
+    @property
+    def n_cells(self) -> int:
+        return self.kappa.shape[0]
+
+
+def compile_track(
+    segments: Sequence[Tuple[float, float]],
+    width: float = 0.8,
+    ds: float = 0.02,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    psi0: float = 0.0,
+) -> Track:
+    """Compile ``(length, curvature)`` segments into a dense :class:`Track`.
+
+    Host-side numpy; exact arc geometry per segment (no integration error at
+    the nodes). ``ds`` is adjusted slightly so every segment holds an integer
+    number of cells (keeps kappa exactly piecewise-constant on cells).
+    """
+    segments = [(float(L), float(k)) for (L, k) in segments]
+    total = sum(L for L, _ in segments)
+    # integer number of cells per segment at ~ds pitch
+    cells = [max(1, int(round(L / ds))) for L, _ in segments]
+    n = sum(cells)
+    ds_eff = total / n
+
+    kap = np.empty(n, dtype=np.float64)
+    X = np.empty(n + 1, dtype=np.float64)
+    Y = np.empty(n + 1, dtype=np.float64)
+    psi = np.empty(n + 1, dtype=np.float64)
+    X[0], Y[0], psi[0] = x0, y0, psi0
+
+    i = 0
+    for (L, k), nc in zip(segments, cells):
+        # exact per-segment arc stepping at the (rescaled) cell pitch
+        d = L / nc * (total / (ds_eff * n))  # == L / nc (kept explicit)
+        d = L / nc
+        for _ in range(nc):
+            kap[i] = k
+            if abs(k) < 1e-12:
+                X[i + 1] = X[i] + d * np.cos(psi[i])
+                Y[i + 1] = Y[i] + d * np.sin(psi[i])
+                psi[i + 1] = psi[i]
+            else:
+                psi[i + 1] = psi[i] + k * d
+                X[i + 1] = X[i] + (np.sin(psi[i + 1]) - np.sin(psi[i])) / k
+                Y[i + 1] = Y[i] - (np.cos(psi[i + 1]) - np.cos(psi[i])) / k
+            i += 1
+
+    # note: cells may have slightly different pitch per segment; re-sample to
+    # a truly uniform grid so runtime lookups are pure index arithmetic.
+    s_nodes = np.concatenate(
+        [[0.0], np.cumsum(np.concatenate([[L / nc] * nc for (L, _), nc in zip(segments, cells)]))]
+    )
+    s_uni = np.linspace(0.0, total, n + 1)
+    Xu = np.interp(s_uni, s_nodes, X)
+    Yu = np.interp(s_uni, s_nodes, Y)
+    psiu = np.interp(s_uni, s_nodes, psi)
+    # per-cell curvature at uniform cell centers, from the segment spec
+    seg_ends = np.cumsum([L for L, _ in segments])
+    seg_kappa = np.array([k for _, k in segments])
+    centers = (s_uni[:-1] + s_uni[1:]) / 2
+    kap_u = seg_kappa[np.minimum(np.searchsorted(seg_ends, centers, side="right"), len(segments) - 1)]
+
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return Track(
+        ds=f32(total / n),
+        length=f32(total),
+        width=f32(width),
+        kappa=f32(kap_u),
+        X=f32(Xu),
+        Y=f32(Yu),
+        psi=f32(psiu),
+    )
+
+
+def wrap_s(track: Track, s: jnp.ndarray) -> jnp.ndarray:
+    """Wrap arc length into [0, length). Branch-free, works on traced values."""
+    return s - track.length * jnp.floor(s / track.length)
+
+
+def _cell_index(track: Track, s: jnp.ndarray) -> jnp.ndarray:
+    sm = wrap_s(track, s)
+    n = track.kappa.shape[0]
+    return jnp.clip((sm / track.ds).astype(jnp.int32), 0, n - 1)
+
+
+def curvature_at(track: Track, s: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-constant curvature lookup (reference ``map.curvature(s)``)."""
+    return track.kappa[_cell_index(track, s)]
+
+
+def centerline_pose(track: Track, s: jnp.ndarray):
+    """Interpolated centerline pose (X, Y, psi) at arc length ``s``."""
+    sm = wrap_s(track, s)
+    n = track.kappa.shape[0]
+    f = sm / track.ds
+    i0 = jnp.clip(f.astype(jnp.int32), 0, n - 1)
+    t = f - i0.astype(f.dtype)
+    Xc = track.X[i0] * (1 - t) + track.X[i0 + 1] * t
+    Yc = track.Y[i0] * (1 - t) + track.Y[i0 + 1] * t
+    pc = track.psi[i0] * (1 - t) + track.psi[i0 + 1] * t
+    return Xc, Yc, pc
+
+
+def frenet_to_global(track: Track, s, e_y, e_psi):
+    """(s, e_y, e_psi) -> global (X, Y, psi). Reference ``getGlobalPosition``."""
+    Xc, Yc, pc = centerline_pose(track, s)
+    X = Xc - e_y * jnp.sin(pc)
+    Y = Yc + e_y * jnp.cos(pc)
+    return X, Y, pc + e_psi
+
+
+def global_to_frenet(track: Track, X, Y, psi):
+    """Global pose -> (s, e_y, e_psi). Reference ``getLocalPosition``.
+
+    Dense nearest-node argmin over the whole table, then projection onto the
+    local tangent for sub-cell accuracy. Branch-free; vmap over queries.
+    """
+    dx = X - track.X[:-1]
+    dy = Y - track.Y[:-1]
+    d2 = dx * dx + dy * dy
+    i = jnp.argmin(d2, axis=-1)
+    tx = jnp.cos(track.psi[i])
+    ty = jnp.sin(track.psi[i])
+    ddx = X - track.X[i]
+    ddy = Y - track.Y[i]
+    along = ddx * tx + ddy * ty
+    e_y = -ddx * ty + ddy * tx
+    s = wrap_s(track, i.astype(jnp.float32) * track.ds + along)
+    pc = track.psi[i] + curvature_at(track, s) * along
+    e_psi = jnp.arctan2(jnp.sin(psi - pc), jnp.cos(psi - pc))
+    return s, e_y, e_psi
