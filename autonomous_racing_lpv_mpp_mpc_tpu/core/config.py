@@ -60,6 +60,15 @@ class MPCWeights:
     r: Tuple[float, ...] = (1.0, 1.0)
     dr: Tuple[float, ...] = (30.0, 15.0)
 
+    @classmethod
+    def for_model(cls, model: str) -> "MPCWeights":
+        """Per-model defaults aligned with the state vector ordering."""
+        if model == "dynamic":   # (vx, vy, wz, e_psi, s, e_y)
+            return cls(q=(120.0, 1.0, 1.0, 70.0, 0.0, 100.0))
+        if model == "kinematic":  # (vx, e_psi, s, e_y)
+            return cls(q=(50.0, 20.0, 0.0, 60.0))
+        raise ValueError(model)
+
     def q_array(self) -> jnp.ndarray:
         return jnp.asarray(self.q, dtype=jnp.float32)
 
@@ -86,6 +95,9 @@ class MPCBounds:
     a_max: float = 3.0
     ddelta_max: float = 0.60     # |Delta delta| per step [rad]
     da_max: float = 3.0          # |Delta a| per step [m/s^2]
+    # quadratic penalty weight for e_y corridor violations (soft constraint,
+    # SURVEY.md §5); float("inf") makes the corridor a hard box.
+    ey_soft: float = 2000.0
 
 
 @struct.dataclass
@@ -101,6 +113,10 @@ class MPCConfig:
     # "ltv": Jacobian linearization with affine residual (successive
     #        linearization / SQP mode) — strictly more accurate, non-reference.
     linearization: str = struct.field(pytree_node=False, default="lpv")
+    # "euler" is the reference's A_d = I + dt*A (SURVEY.md §2); "expm" is the
+    # exact Van Loan discretization — required for the stiff low-speed lateral
+    # dynamics of the dynamic bicycle (|dt*lambda| > 2 below ~1 m/s).
+    discretization: str = struct.field(pytree_node=False, default="expm")
     weights: MPCWeights = dataclasses.field(default_factory=MPCWeights)
     bounds: MPCBounds = dataclasses.field(default_factory=MPCBounds)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import MPCConfig, VehicleParams
-from ..models import discretize_euler, f_model, lpv_ab, ltv_abc, model_nx
+from ..models import discretize, f_model, lpv_ab, ltv_abc, model_nx
 from ..models.dynamics import NU
 from ..solver.admm import BoxQP
 from ..solver.riccati import LQRCost, LQRDynamics
@@ -100,12 +100,12 @@ def build_boxqp(
     if cfg.linearization == "lpv":
         def stage(xk, uk, kap):
             A, B = lpv_ab(p, xk, uk, kap, cfg.model)
-            Ad, Bd = discretize_euler(A, B, dt)
+            Ad, Bd = discretize(A, B, dt, method=cfg.discretization)
             return Ad, Bd, jnp.zeros((nx,), f32)
     else:
         def stage(xk, uk, kap):
             A, B, c = ltv_abc(p, xk, uk, kap, cfg.model, cfg.tire)
-            return discretize_euler(A, B, dt, c)
+            return discretize(A, B, dt, c, method=cfg.discretization)
 
     Ad, Bd, cd = jax.vmap(stage)(X_sched[:N], U_sched, kappas)
 
@@ -117,6 +117,11 @@ def build_boxqp(
 
     # --- cost ---
     w = cfg.weights
+    if len(w.q) != nx:
+        raise ValueError(
+            f"MPCWeights.q has {len(w.q)} entries but model {cfg.model!r} has "
+            f"{nx} states; use MPCWeights.for_model({cfg.model!r})"
+        )
     Qd = jnp.asarray(w.q, f32)[:nx]
     Rd = jnp.diag(jnp.asarray(w.r, f32))
     dR = jnp.diag(jnp.asarray(w.dr, f32))
@@ -162,9 +167,12 @@ def build_boxqp(
     lb = lb.at[N, 2:].set(-inf)
     ub = ub.at[N, 2:].set(inf)
 
+    # soft e_y corridor (row 1); everything else hard
+    soft = jnp.full((N_CON,), jnp.inf, f32).at[1].set(b.ey_soft)
+
     xa0 = jnp.concatenate([x0, u_prev], axis=0)
     return BoxQP(
         dyn=LQRDynamics(Aa, Ba, ca),
         cost=LQRCost(Q, qlin, R, rlin, M),
-        Dx=Dx, Du=Du, lb=lb, ub=ub, x0=xa0,
+        Dx=Dx, Du=Du, lb=lb, ub=ub, x0=xa0, soft=soft,
     )

@@ -1,0 +1,123 @@
+"""Receding-horizon LPV-MPC controller step.
+
+Reference parity (SURVEY.md §3.1-§3.2): per control step — shift the
+previous predicted trajectory for quasi-LPV scheduling, assemble the QP,
+solve with warm start, apply u0, keep the prediction for the next step.
+Degraded mode on solver non-convergence: fall back to the shifted previous
+solution (SURVEY.md §5 "Failure detection").
+
+Everything is a pure function of (params, configs, track, state, carry), so
+the whole controller jits, vmaps over scenario batches, and scans over lap
+steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.config import MPCConfig, SolverConfig, VehicleParams
+from ..engine.assembly import build_boxqp, initial_schedule, shift_schedule
+from ..models import model_nx
+from ..models.dynamics import NU
+from ..solver.admm import admm_solve
+from ..track.track import Track
+
+
+class MPCCarry(NamedTuple):
+    X_pred: jnp.ndarray   # (N+1, nx) previous predicted states (plain)
+    U_pred: jnp.ndarray   # (N, nu)
+    s: jnp.ndarray        # (N+1, nc) ADMM split warm start
+    lam: jnp.ndarray      # (N+1, nc) ADMM dual warm start
+    u_prev: jnp.ndarray   # (nu,) last applied control
+
+
+class MPCDiag(NamedTuple):
+    converged: jnp.ndarray
+    iters: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+
+
+def constant_refs(cfg: MPCConfig, vx_ref: float, ey_ref: float = 0.0) -> jnp.ndarray:
+    """(N+1, nx) reference: track vx_ref, hold e_y at ey_ref, rest 0."""
+    nx = model_nx(cfg.model)
+    vx_i, ey_i = 0, (5 if cfg.model == "dynamic" else 3)
+    x_ref = jnp.zeros((cfg.N + 1, nx), jnp.float32)
+    x_ref = x_ref.at[:, vx_i].set(vx_ref)
+    x_ref = x_ref.at[:, ey_i].set(ey_ref)
+    return x_ref
+
+
+def mpc_init(
+    p: VehicleParams, cfg: MPCConfig, track: Track, x0: jnp.ndarray,
+    u0: jnp.ndarray | None = None,
+) -> MPCCarry:
+    from ..engine.assembly import N_CON
+
+    if u0 is None:
+        u0 = jnp.zeros((NU,), jnp.float32)
+    X, U = initial_schedule(p, cfg, track, x0, u0)
+    nc = N_CON
+    z = jnp.zeros((cfg.N + 1, nc), jnp.float32)
+    return MPCCarry(X_pred=X, U_pred=U, s=z, lam=z, u_prev=u0)
+
+
+def mpc_prepare(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    track: Track,
+    x: jnp.ndarray,        # (nx,) current estimated state
+    x_ref: jnp.ndarray,    # (N+1, nx) tracking reference
+    carry: MPCCarry,
+):
+    """Scheduling + assembly + warm start for one step.
+
+    Exposed separately so the oracle acceptance test (BASELINE.json: match
+    the OSQP-semantics control sequence per step) can solve the *identical*
+    QP with both solvers. Returns (qp, warm, U_sched).
+    """
+    # quasi-LPV scheduling: current state + shifted previous prediction
+    X_shift, U_sched = shift_schedule(carry.X_pred, carry.U_pred)
+    X_sched = jnp.concatenate([x[None], X_shift[1:]], axis=0)
+
+    qp = build_boxqp(p, cfg, track, x, carry.u_prev, X_sched, U_sched, x_ref)
+
+    # warm start: shift the previous step's ADMM variables one stage
+    s_w = jnp.concatenate([carry.s[1:], carry.s[-1:]], axis=0)
+    lam_w = jnp.concatenate([carry.lam[1:], carry.lam[-1:]], axis=0)
+    # augmented warm primal: xa_k = (x_k, u_{k-1})
+    uprev_part = jnp.concatenate([carry.u_prev[None], U_sched], axis=0)
+    Xa_w = jnp.concatenate([X_sched, uprev_part], axis=1)
+    return qp, (s_w, lam_w, Xa_w, U_sched), U_sched
+
+
+def mpc_step(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    x: jnp.ndarray,        # (nx,) current estimated state
+    x_ref: jnp.ndarray,    # (N+1, nx) tracking reference
+    carry: MPCCarry,
+):
+    """One control step. Returns (u0, new_carry, diag)."""
+    nx = model_nx(cfg.model)
+    qp, warm, U_sched = mpc_prepare(p, cfg, track, x, x_ref, carry)
+    sol = admm_solve(qp, scfg, warm=warm)
+
+    # degraded mode: shifted previous control if the solver did not converge
+    X_sched = warm[2][:, :nx]
+    u = jnp.where(sol.converged, sol.U[0], U_sched[0])
+    X_new = jnp.where(sol.converged, sol.X[:, :nx], X_sched)
+    U_new = jnp.where(sol.converged, sol.U, U_sched)
+
+    new_carry = MPCCarry(
+        X_pred=X_new, U_pred=U_new, s=sol.s, lam=sol.lam, u_prev=u
+    )
+    diag = MPCDiag(
+        converged=sol.converged, iters=sol.iters,
+        r_prim=sol.r_prim, r_dual=sol.r_dual,
+    )
+    return u, new_carry, diag

@@ -9,7 +9,7 @@ from .dynamics import (
     model_nx,
 )
 from .lpv import lpv_ab_dynamic, lpv_ab_kinematic, lpv_ab, ltv_abc
-from .discretize import discretize_euler, discretize_order2
+from .discretize import discretize, discretize_euler, discretize_expm, discretize_order2
 
 __all__ = [
     "tire_force_linear",
@@ -26,6 +26,8 @@ __all__ = [
     "lpv_ab_kinematic",
     "lpv_ab",
     "ltv_abc",
+    "discretize",
     "discretize_euler",
+    "discretize_expm",
     "discretize_order2",
 ]

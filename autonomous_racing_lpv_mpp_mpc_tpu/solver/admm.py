@@ -56,6 +56,14 @@ class BoxQP(NamedTuple):
     lb: jnp.ndarray         # (N+1, nc)
     ub: jnp.ndarray         # (N+1, nc)
     x0: jnp.ndarray         # (nx,)
+    # per-row softness: +inf = hard box; finite beta = quadratic penalty
+    # beta/2 * dist(row, [lb,ub])^2 (SURVEY.md §5: soft e_y corridor so the
+    # QP never hard-fails mid-lap). Shape (nc,).
+    soft: jnp.ndarray
+
+
+def hard_rows(nc: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.full((nc,), jnp.inf, dtype)
 
 
 class ADMMState(NamedTuple):
@@ -106,7 +114,13 @@ def _iterate(qp: BoxQP, fac: RiccatiFactors, cfg: SolverConfig, rho, st: ADMMSta
     Uext = jnp.concatenate([U, jnp.zeros((1, U.shape[1]), U.dtype)], axis=0)
     w = X @ qp.Dx.T + Uext @ qp.Du.T
     w_rel = cfg.alpha * w + (1.0 - cfg.alpha) * st.s
-    s_new = jnp.clip(w_rel + st.lam / rho, qp.lb, qp.ub)
+    wl = w_rel + st.lam / rho
+    clipped = jnp.clip(wl, qp.lb, qp.ub)
+    # s-update: projection for hard rows; prox of the quadratic violation
+    # penalty beta/2*dist(.,[l,u])^2 for soft rows (elementwise, branch-free)
+    beta = jnp.minimum(qp.soft, 1e30)
+    soft_s = (beta * clipped + rho * wl) / (beta + rho)
+    s_new = jnp.where(jnp.isinf(qp.soft), clipped, soft_s)
     lam_new = st.lam + rho * (w_rel - s_new)
 
     # OSQP-style residuals / tolerances (inf norms in the z-space)

@@ -19,13 +19,15 @@ import math
 
 from .track import Track, compile_track
 
-_R = 0.8            # oval corner radius [m]
+# Minimum drivable radius: delta_max = 0.30 rad and wheelbase L = 0.25 m
+# give R_min = L / tan(delta_max) ~= 0.81 m; all radii below keep margin.
+_R = 1.0            # oval corner radius [m]
 _K = 1.0 / _R
 
 OVAL_SEGMENTS = (
-    (1.5, 0.0),
+    (2.0, 0.0),
     (math.pi * _R, _K),
-    (1.5, 0.0),
+    (2.0, 0.0),
     (math.pi * _R, _K),
 )
 
@@ -59,10 +61,10 @@ def _schicane(radius: float):
 
 
 def _racetrack_segments():
-    r_corner = 0.9      # rounded-rectangle corner radius
-    r_chi = 0.45        # chicane radius
-    long_straight = 4.5
-    short_straight = 2.0
+    r_corner = 1.3      # rounded-rectangle corner radius
+    r_chi = 1.0         # chicane radius
+    long_straight = 7.0
+    short_straight = 2.5
     segs = []
     # bottom straight with a tab spliced in
     segs += [(1.0, 0.0)]

@@ -1,0 +1,113 @@
+"""Integration tests (SURVEY.md §4.3): full closed-loop laps + the
+BASELINE.json acceptance test — per-step control-sequence match against the
+CPU OSQP-semantics oracle (re-synced each step, SURVEY.md §7 "hard parts")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+    MPCConfig,
+    MPCWeights,
+    SolverConfig,
+    VehicleParams,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+    closed_loop,
+    constant_refs,
+    mpc_init,
+    mpc_prepare,
+    mpc_step,
+    plant_step,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.oracle import (
+    OsqpRefSettings,
+    osqp_ref_solve,
+    stack_boxqp,
+    unstack_solution,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.solver import admm_solve
+from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track, racetrack
+
+P = VehicleParams()
+SCFG = SolverConfig(max_iter=60)
+
+
+def test_config1_kinematic_oval_full_lap():
+    """BASELINE config 1: kinematic bicycle, N=10, single lap on the oval."""
+    cfg = MPCConfig(N=10, model="kinematic", weights=MPCWeights.for_model("kinematic"))
+    track = oval_track()
+    x0 = jnp.array([0.5, 0.0, 0.0, 0.0])
+    log = closed_loop(P, cfg, SCFG, track, x0, constant_refs(cfg, 1.5), T=300)
+    X = np.asarray(log.X)
+    assert X[-1, 2] > float(track.length)          # lap completed
+    assert np.abs(X[:, 3]).max() < 0.4             # stays in corridor
+    assert np.asarray(log.converged).mean() > 0.95
+    # vx settles on the reference
+    assert abs(X[150:, 0].mean() - 1.5) < 0.05
+
+
+def test_config2_dynamic_racetrack_full_lap():
+    """BASELINE config 2: dynamic bicycle + tire slip, N=20, full racetrack
+    lap, Pacejka plant vs linear-tire LPV controller (model mismatch)."""
+    cfg = MPCConfig(N=20, model="dynamic")
+    track = racetrack()
+    x0 = jnp.array([0.7, 0.0, 0.0, 0.0, 0.0, 0.0])
+    log = closed_loop(
+        P, cfg, SCFG, track, x0, constant_refs(cfg, 1.8), T=600, sim_tire="pacejka"
+    )
+    X = np.asarray(log.X)
+    assert X[-1, 4] > float(track.length)          # lap completed
+    assert np.abs(X[:, 5]).max() < 0.4
+    assert np.asarray(log.converged).mean() > 0.95
+    # warm start keeps iteration counts low (SURVEY.md §4.3)
+    assert np.asarray(log.iters)[50:].mean() < 25
+
+
+def test_acceptance_control_sequence_matches_oracle():
+    """BASELINE acceptance: steering/throttle sequence matches the
+    OSQP-semantics oracle within tolerance, re-synced per step."""
+    cfg = MPCConfig(N=12, model="dynamic")
+    scfg = SolverConfig(max_iter=300, eps_abs=1e-6, eps_rel=1e-6)
+    track = oval_track()
+    x_ref = constant_refs(cfg, 1.5)
+    x = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.05])
+    carry = mpc_init(P, cfg, track, x)
+
+    step_fn = jax.jit(
+        lambda x_, c_: mpc_step(P, cfg, scfg, track, x_, x_ref, c_)
+    )
+    plant_fn = jax.jit(lambda x_, u_: plant_step(P, cfg, track, x_, u_))
+
+    max_du = 0.0
+    for t in range(25):
+        qp, _, _ = mpc_prepare(P, cfg, track, x, x_ref, carry)
+        u_jax, carry, diag = step_fn(x, carry)
+        assert bool(diag.converged), f"step {t} did not converge"
+        Pd, qd, Ad, ld, ud = stack_boxqp(qp)
+        ref = osqp_ref_solve(Pd, qd, Ad, ld, ud, OsqpRefSettings())
+        assert ref.converged
+        _, Ur = unstack_solution(qp, ref.x)
+        max_du = max(max_du, float(np.abs(np.asarray(u_jax) - Ur[0]).max()))
+        x = plant_fn(x, u_jax)
+    # tolerance ladder (SURVEY.md §7): per-step u within tau in f32
+    assert max_du < 2e-3, f"max |u_jax - u_oracle| = {max_du}"
+
+
+def test_closed_loop_vmaps_over_scenarios():
+    """Scenario batching smoke test: vmap the whole lap over initial states."""
+    cfg = MPCConfig(N=8, model="kinematic", weights=MPCWeights.for_model("kinematic"))
+    track = oval_track()
+    x0s = jnp.stack(
+        [jnp.array([0.5, 0.0, 0.0, ey]) for ey in (-0.1, 0.0, 0.1, 0.2)]
+    )
+    refs = constant_refs(cfg, 1.2)
+    logs = jax.vmap(
+        lambda x0: closed_loop(P, cfg, SCFG, track, x0, refs, T=100)
+    )(x0s)
+    assert logs.X.shape == (4, 100, 4)
+    assert np.asarray(logs.converged).mean() > 0.9
+    # each scenario converges toward the centerline
+    assert np.abs(np.asarray(logs.X[:, -1, 3])).max() < 0.1
+    assert np.abs(np.asarray(logs.X[:, -1, 3])).max() < np.abs(np.asarray(x0s[:, 3])).max()

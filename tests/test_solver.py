@@ -62,6 +62,7 @@ def random_qp(seed, tight=True):
         dyn=LQRDynamics(f32(A), f32(B), f32(c)),
         cost=LQRCost(f32(Q), f32(q), f32(R), f32(r), f32(M)),
         Dx=f32(Dx), Du=f32(Du), lb=f32(lb), ub=f32(ub), x0=f32(x0),
+        soft=jnp.full((5,), jnp.inf, jnp.float32),
     )
 
 
