@@ -3,6 +3,7 @@ from .config import (
     MPCWeights,
     MPCBounds,
     MPCConfig,
+    MPPConfig,
     SolverConfig,
     MeshConfig,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "MPCWeights",
     "MPCBounds",
     "MPCConfig",
+    "MPPConfig",
     "SolverConfig",
     "MeshConfig",
 ]

@@ -117,6 +117,10 @@ class MPCConfig:
     # exact Van Loan discretization — required for the stiff low-speed lateral
     # dynamics of the dynamic bicycle (|dt*lambda| > 2 below ~1 m/s).
     discretization: str = struct.field(pytree_node=False, default="expm")
+    # per-stage vx upper bound from the friction circle at the scheduled s
+    # (linear tires in the LPV otherwise never see the grip limit)
+    kappa_speed_cap: bool = struct.field(pytree_node=False, default=True)
+    a_lat_frac: float = 0.9
     weights: MPCWeights = dataclasses.field(default_factory=MPCWeights)
     bounds: MPCBounds = dataclasses.field(default_factory=MPCBounds)
 
@@ -135,8 +139,12 @@ class SolverConfig:
     sigma: float = 1e-6
     alpha: float = 1.6            # over-relaxation
     max_iter: int = struct.field(pytree_node=False, default=50)
-    eps_abs: float = 1e-4
-    eps_rel: float = 1e-4
+    eps_abs: float = 3e-4
+    eps_rel: float = 3e-4
+    # looser acceptance used by the receding-horizon loop: a solution whose
+    # residuals are below this is applied even if formal termination was not
+    # reached (the limp-home fallback only kicks in beyond it)
+    eps_fallback: float = 2e-2
     # every `rho_interval` iterations rho is rescaled from the residual ratio
     # (OSQP's adaptive rho); 0 disables.
     rho_interval: int = struct.field(pytree_node=False, default=10)
@@ -147,6 +155,38 @@ class SolverConfig:
     # single-solve path: early-exit while_loop on termination check;
     # batched path: fixed iteration count (static shapes). SURVEY.md §7 L4.
     check_termination: int = struct.field(pytree_node=False, default=5)
+
+
+@struct.dataclass
+class MPPConfig:
+    """MPP planner config (SURVEY.md §2 "MPP planner", §3.3).
+
+    The planner shares the tracking engine: same LPV machinery, different
+    cost (progress maximization + trust region) and per-stage bounds
+    (curvature-limited speed, obstacle-shifted corridor).
+    """
+
+    H: int = struct.field(pytree_node=False, default=512)   # planning stages
+    n_sqp: int = struct.field(pytree_node=False, default=4)  # relinearizations
+    dt: float = struct.field(pytree_node=False, default=1.0 / 30.0)
+    model: str = struct.field(pytree_node=False, default="dynamic")
+    tire: str = struct.field(pytree_node=False, default="linear")
+    linearization: str = struct.field(pytree_node=False, default="lpv")
+    discretization: str = struct.field(pytree_node=False, default="expm")
+    # progress reward (linear weight on terminal s) and trust-region weights
+    w_progress: float = 50.0
+    q_trust: Tuple[float, ...] = (0.0, 0.5, 0.5, 5.0, 0.0, 5.0)
+    r: Tuple[float, ...] = (0.05, 0.05)
+    dr: Tuple[float, ...] = (20.0, 10.0)
+    # fraction of the friction circle budgeted to lateral accel for the
+    # curvature speed limit v <= sqrt(a_lat_frac * mu * g / |kappa|);
+    # conservative by default — the tracker needs margin for model mismatch
+    a_lat_frac: float = 0.7
+    # corridor margin from the track edge [m] (car half-width + safety)
+    ey_margin: float = 0.05
+    bounds: MPCBounds = dataclasses.field(default_factory=MPCBounds)
+    # resolution of the emitted reference table [m]
+    ds_ref: float = struct.field(pytree_node=False, default=0.05)
 
 
 @struct.dataclass

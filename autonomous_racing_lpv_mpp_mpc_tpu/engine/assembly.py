@@ -75,6 +75,74 @@ def _s_index(model: str) -> int:
     return 4 if model == "dynamic" else 2
 
 
+def curvature_speed_limit_table(p: VehicleParams, track: Track, vx_min, vx_max,
+                                a_lat_frac: float = 0.85):
+    """(n_cells,) friction-circle speed limit v <= sqrt(f*mu*g/|kappa|)."""
+    kap = jnp.abs(track.kappa)
+    v_lim = jnp.sqrt(a_lat_frac * p.mu * p.g / jnp.maximum(kap, 1e-6))
+    return jnp.clip(v_lim, vx_min, vx_max)
+
+
+def speed_cap_at(p: VehicleParams, track: Track, s, vx_min, vx_max,
+                 a_lat_frac: float = 0.85):
+    """Speed cap sampled at arc length(s) s (branch-free table gather)."""
+    tab = curvature_speed_limit_table(p, track, vx_min, vx_max, a_lat_frac)
+    sm = s - track.length * jnp.floor(s / track.length)
+    n = track.kappa.shape[0]
+    return tab[jnp.clip((sm / track.ds).astype(jnp.int32), 0, n - 1)]
+
+
+def augment_dynamics(Ad, Bd, cd):
+    """(A, B, c) on x -> on xa = (x, u_prev): stage-separable Delta-u form."""
+    N, nx, nu = Bd.shape
+    na = nx + nu
+    f32 = Ad.dtype
+    Aa = jnp.zeros((N, na, na), f32).at[:, :nx, :nx].set(Ad)
+    Ba = jnp.zeros((N, na, nu), f32).at[:, :nx, :].set(Bd)
+    Ba = Ba.at[:, nx:, :].set(jnp.eye(nu, dtype=f32))
+    ca = jnp.zeros((N, na), f32).at[:, :nx].set(cd)
+    return Aa, Ba, ca
+
+
+def constraint_rows(model: str, dtype=jnp.float32):
+    """The 6 standard rows on (xa, u): vx, e_y, delta, a, Ddelta, Da."""
+    nx = model_nx(model)
+    na = nx + NU
+    vx_i, ey_i = state_indices(model)
+    Dx = jnp.zeros((N_CON, na), dtype)
+    Du = jnp.zeros((N_CON, NU), dtype)
+    Dx = Dx.at[0, vx_i].set(1.0)
+    Dx = Dx.at[1, ey_i].set(1.0)
+    Du = Du.at[2, 0].set(1.0)
+    Du = Du.at[3, 1].set(1.0)
+    Dx = Dx.at[4, nx + 0].set(-1.0)
+    Du = Du.at[4, 0].set(1.0)
+    Dx = Dx.at[5, nx + 1].set(-1.0)
+    Du = Du.at[5, 1].set(1.0)
+    return Dx, Du
+
+
+def scheduled_stages(p, cfg, track, X_sched, U_sched):
+    """LPV/LTV stage matrices along the scheduling trajectory (vmap over k)."""
+    N = X_sched.shape[0] - 1
+    nx = model_nx(cfg.model)
+    f32 = X_sched.dtype
+    s_idx = _s_index(cfg.model)
+    kappas = curvature_at(track, X_sched[:N, s_idx])
+
+    if cfg.linearization == "lpv":
+        def stage(xk, uk, kap):
+            A, B = lpv_ab(p, xk, uk, kap, cfg.model)
+            Ad, Bd = discretize(A, B, cfg.dt, method=cfg.discretization)
+            return Ad, Bd, jnp.zeros((nx,), f32)
+    else:
+        def stage(xk, uk, kap):
+            A, B, c = ltv_abc(p, xk, uk, kap, cfg.model, cfg.tire)
+            return discretize(A, B, cfg.dt, c, method=cfg.discretization)
+
+    return jax.vmap(stage)(X_sched[:N], U_sched, kappas)
+
+
 def build_boxqp(
     p: VehicleParams,
     cfg: MPCConfig,
@@ -94,26 +162,10 @@ def build_boxqp(
 
     # --- scheduled stage matrices (vmap over the horizon = the N model
     # evaluations of SURVEY.md §3.1, batched instead of a Python loop) ---
-    s_idx = _s_index(cfg.model)
-    kappas = curvature_at(track, X_sched[:N, s_idx])
-
-    if cfg.linearization == "lpv":
-        def stage(xk, uk, kap):
-            A, B = lpv_ab(p, xk, uk, kap, cfg.model)
-            Ad, Bd = discretize(A, B, dt, method=cfg.discretization)
-            return Ad, Bd, jnp.zeros((nx,), f32)
-    else:
-        def stage(xk, uk, kap):
-            A, B, c = ltv_abc(p, xk, uk, kap, cfg.model, cfg.tire)
-            return discretize(A, B, dt, c, method=cfg.discretization)
-
-    Ad, Bd, cd = jax.vmap(stage)(X_sched[:N], U_sched, kappas)
+    Ad, Bd, cd = scheduled_stages(p, cfg, track, X_sched, U_sched)
 
     # --- augmentation: xa = (x, u_prev) ---
-    Aa = jnp.zeros((N, na, na), f32).at[:, :nx, :nx].set(Ad)
-    Ba = jnp.zeros((N, na, NU), f32).at[:, :nx, :].set(Bd)
-    Ba = Ba.at[:, nx:, :].set(jnp.eye(NU, dtype=f32))
-    ca = jnp.zeros((N, na), f32).at[:, :nx].set(cd)
+    Aa, Ba, ca = augment_dynamics(Ad, Bd, cd)
 
     # --- cost ---
     w = cfg.weights
@@ -139,17 +191,7 @@ def build_boxqp(
 
     # --- constraint rows ---
     b = cfg.bounds
-    vx_i, ey_i = state_indices(cfg.model)
-    Dx = jnp.zeros((N_CON, na), f32)
-    Du = jnp.zeros((N_CON, NU), f32)
-    Dx = Dx.at[0, vx_i].set(1.0)
-    Dx = Dx.at[1, ey_i].set(1.0)
-    Du = Du.at[2, 0].set(1.0)
-    Du = Du.at[3, 1].set(1.0)
-    Dx = Dx.at[4, nx + 0].set(-1.0)
-    Du = Du.at[4, 0].set(1.0)
-    Dx = Dx.at[5, nx + 1].set(-1.0)
-    Du = Du.at[5, 1].set(1.0)
+    Dx, Du = constraint_rows(cfg.model, f32)
 
     lo = jnp.asarray(
         [b.vx_min, -b.ey_max, -b.delta_max, b.a_min, -b.ddelta_max, -b.da_max], f32
@@ -159,6 +201,14 @@ def build_boxqp(
     )
     lb = jnp.tile(lo[None], (N + 1, 1))
     ub = jnp.tile(hi[None], (N + 1, 1))
+    if cfg.kappa_speed_cap:
+        # per-stage vx cap from the friction circle at the scheduled s:
+        # makes the tracker brake into corners even when vx_ref is high
+        s_idx = _s_index(cfg.model)
+        v_cap = speed_cap_at(
+            p, track, X_sched[:, s_idx], b.vx_min, b.vx_max, cfg.a_lat_frac
+        )
+        ub = ub.at[:, 0].set(v_cap)
     inf = jnp.asarray(jnp.inf, f32)
     # stage 0: state rows are constants (x0 fixed) -> disabled
     lb = lb.at[0, :2].set(-inf)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..core.config import MPCConfig, SolverConfig, VehicleParams
 from ..engine.assembly import build_boxqp, initial_schedule, shift_schedule
+from ..planner.reftable import RefTable, refs_from_table
 from ..models import model_nx
 from ..models.dynamics import NU
 from ..solver.admm import admm_solve
@@ -77,10 +78,18 @@ def mpc_prepare(
     Exposed separately so the oracle acceptance test (BASELINE.json: match
     the OSQP-semantics control sequence per step) can solve the *identical*
     QP with both solvers. Returns (qp, warm, U_sched).
+
+    ``x_ref`` is either a static (N+1, nx) array or a planner
+    :class:`RefTable` — the table is sampled along the *scheduled* s
+    trajectory (reference semantics: refs indexed by predicted s).
     """
     # quasi-LPV scheduling: current state + shifted previous prediction
     X_shift, U_sched = shift_schedule(carry.X_pred, carry.U_pred)
     X_sched = jnp.concatenate([x[None], X_shift[1:]], axis=0)
+
+    if isinstance(x_ref, RefTable):
+        s_idx = 4 if cfg.model == "dynamic" else 2
+        x_ref = refs_from_table(cfg, x_ref, X_sched[:, s_idx])
 
     qp = build_boxqp(p, cfg, track, x, carry.u_prev, X_sched, U_sched, x_ref)
 
@@ -107,11 +116,29 @@ def mpc_step(
     qp, warm, U_sched = mpc_prepare(p, cfg, track, x, x_ref, carry)
     sol = admm_solve(qp, scfg, warm=warm)
 
-    # degraded mode: shifted previous control if the solver did not converge
+    # degraded mode (SURVEY.md §5): limp-home controller — geometric
+    # feed-forward steering toward the centerline + gentle braking with a
+    # speed floor. A stale shifted control can hold delta ~= 0 into a corner
+    # and spiral off-track; this stays sane indefinitely.
+    from ..track.track import curvature_at
+
+    s_idx = 4 if cfg.model == "dynamic" else 2
+    ey_idx = 5 if cfg.model == "dynamic" else 3
+    kap_now = curvature_at(track, x[s_idx])
+    delta_ff = jnp.arctan(kap_now * (p.lf + p.lr)) - 0.5 * x[ey_idx] * jnp.sign(x[0])
+    delta_ff = jnp.clip(delta_ff, -cfg.bounds.delta_max, cfg.bounds.delta_max)
+    a_fb = jnp.where(x[0] > 2.0 * cfg.bounds.vx_min, -0.5, 0.0)
+    u_fallback = jnp.stack([delta_ff, a_fb])
     X_sched = warm[2][:, :nx]
-    u = jnp.where(sol.converged, sol.U[0], U_sched[0])
-    X_new = jnp.where(sol.converged, sol.X[:, :nx], X_sched)
-    U_new = jnp.where(sol.converged, sol.U, U_sched)
+    # usable = residuals small enough for control, even if formal OSQP
+    # termination wasn't reached within max_iter
+    usable = jnp.logical_and(
+        sol.r_prim < scfg.eps_fallback, sol.r_dual < scfg.eps_fallback
+    )
+    usable = jnp.logical_or(sol.converged, usable)
+    u = jnp.where(usable, sol.U[0], u_fallback)
+    X_new = jnp.where(usable, sol.X[:, :nx], X_sched)
+    U_new = jnp.where(usable, sol.U, U_sched)
 
     new_carry = MPCCarry(
         X_pred=X_new, U_pred=U_new, s=sol.s, lam=sol.lam, u_prev=u

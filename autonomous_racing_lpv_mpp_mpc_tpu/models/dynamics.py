@@ -34,6 +34,15 @@ NU = 2
 # model builder"); the plant also guards atan2 slip angles at standstill.
 VX_EPS = 0.05
 
+# floor on the Frenet denominator 1 - kappa*e_y: it crosses zero when the
+# car is further from the centerline than the corner radius; clamping keeps
+# the ODE/LPV finite so an off-track excursion stays recoverable.
+DENOM_EPS = 0.1
+
+
+def frenet_denom(kappa, ey):
+    return jnp.maximum(1.0 - kappa * ey, DENOM_EPS)
+
 
 def f_dynamic(p: VehicleParams, x, u, kappa, tire: str = "linear"):
     """Continuous-time dynamic-bicycle Frenet ODE, dx/dt.
@@ -56,7 +65,7 @@ def f_dynamic(p: VehicleParams, x, u, kappa, tire: str = "linear"):
     dwz = (p.lf * fyf * cd - p.lr * fyr) / p.Iz
 
     se, ce = jnp.sin(epsi), jnp.cos(epsi)
-    denom = 1.0 - kappa * ey
+    denom = frenet_denom(kappa, ey)
     sdot = (vx * ce - vy * se) / denom
     depsi = wz - kappa * sdot
     dey = vx * se + vy * ce
@@ -77,7 +86,7 @@ def f_kinematic(p: VehicleParams, x, u, kappa, tire: str = "linear"):
     dvx = a - (p.cd0 + p.cd1 * vx) / p.m
     psidot = vx * jnp.tan(delta) / L
     se, ce = jnp.sin(epsi), jnp.cos(epsi)
-    denom = 1.0 - kappa * ey
+    denom = frenet_denom(kappa, ey)
     sdot = vx * ce / denom
     depsi = psidot - kappa * sdot
     dey = vx * se

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import VehicleParams
-from .dynamics import VX_EPS, f_model
+from .dynamics import VX_EPS, f_model, frenet_denom
 
 
 def _sinc(x):
@@ -48,7 +48,7 @@ def lpv_ab_dynamic(p: VehicleParams, x_bar, u_bar, kappa):
     vxs = jnp.maximum(vx, VX_EPS)
     sd, cd = jnp.sin(delta), jnp.cos(delta)
     se, ce = jnp.sin(epsi), jnp.cos(epsi)
-    denom = 1.0 - kappa * ey
+    denom = frenet_denom(kappa, ey)
 
     A = jnp.zeros((6, 6), dtype=jnp.result_type(vx))
     B = jnp.zeros((6, 2), dtype=jnp.result_type(vx))
@@ -96,7 +96,7 @@ def lpv_ab_kinematic(p: VehicleParams, x_bar, u_bar, kappa):
     vxs = jnp.maximum(vx, VX_EPS)
     L = p.lf + p.lr
     se, ce = jnp.sin(epsi), jnp.cos(epsi)
-    denom = 1.0 - kappa * ey
+    denom = frenet_denom(kappa, ey)
 
     A = jnp.zeros((4, 4), dtype=jnp.result_type(vx))
     B = jnp.zeros((4, 2), dtype=jnp.result_type(vx))

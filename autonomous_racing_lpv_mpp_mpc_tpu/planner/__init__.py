@@ -1,0 +1,12 @@
+from .velocity_profile import curvature_speed_limit, velocity_profile
+from .reftable import RefTable, refs_from_table
+from .mpp import MPPDiag, plan_mpp
+
+__all__ = [
+    "curvature_speed_limit",
+    "velocity_profile",
+    "RefTable",
+    "refs_from_table",
+    "MPPDiag",
+    "plan_mpp",
+]

@@ -1,0 +1,111 @@
+"""MPP planner tests (SURVEY.md §2 "MPP planner"; BASELINE config 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+    MPCConfig,
+    MPPConfig,
+    SolverConfig,
+    VehicleParams,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.loop import closed_loop
+from autonomous_racing_lpv_mpp_mpc_tpu.planner import (
+    curvature_speed_limit,
+    plan_mpp,
+    refs_from_table,
+    velocity_profile,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track, racetrack
+
+P = VehicleParams()
+
+
+def test_velocity_profile_respects_limits():
+    track = racetrack()
+    pcfg = MPPConfig()
+    v = velocity_profile(P, track, pcfg.bounds, pcfg.a_lat_frac)
+    v_lim = curvature_speed_limit(P, track, pcfg.bounds, pcfg.a_lat_frac)
+    assert float((v - v_lim).max()) < 1e-4          # never above the cap
+    # accel between cells bounded (v dv/ds <= a_max)
+    dv2 = np.diff(np.asarray(v) ** 2)
+    ds = float(track.ds)
+    assert dv2.max() <= 2 * pcfg.bounds.a_max * ds * 1.05
+    assert dv2.min() >= -2 * abs(pcfg.bounds.a_min) * ds * 1.05
+
+
+@pytest.fixture(scope="module")
+def racetrack_plan():
+    track = racetrack()
+    table, diag = plan_mpp(P, MPPConfig(), track)
+    return track, table, diag
+
+
+def test_mpp_converges_and_covers_lap(racetrack_plan):
+    track, table, diag = racetrack_plan
+    assert bool(np.asarray(diag.converged).all())
+    assert float(diag.progress) > float(track.length)   # plan covers >= 1 lap
+    # lap time beats the conservative constant-speed bound
+    assert float(diag.lap_time) < float(track.length) / 1.8
+
+
+def test_mpp_table_sane(racetrack_plan):
+    track, table, diag = racetrack_plan
+    b = MPPConfig().bounds
+    assert float(table.vx.min()) >= b.vx_min - 1e-3
+    assert float(table.vx.max()) <= b.vx_max + 1e-3
+    half = float(track.width) / 2
+    assert float(jnp.abs(table.ey).max()) < half        # racing line on track
+    assert float(jnp.abs(table.delta).max()) <= b.delta_max + 1e-3
+    # lookup is periodic
+    v0 = table.lookup(jnp.asarray(0.0))[0]
+    vL = table.lookup(track.length)[0]
+    np.testing.assert_allclose(float(v0), float(vL), atol=1e-4)
+
+
+def test_refs_from_table_shapes(racetrack_plan):
+    _, table, _ = racetrack_plan
+    cfg = MPCConfig(N=12, model="dynamic")
+    s_sched = jnp.linspace(0.0, 3.0, cfg.N + 1)
+    x_ref = refs_from_table(cfg, table, s_sched)
+    assert x_ref.shape == (cfg.N + 1, 6)
+    assert float(x_ref[:, 0].min()) > 0.5               # vx refs populated
+
+
+def test_config3_planner_tracker_pipeline(racetrack_plan):
+    """BASELINE config 3: MPP reference generation feeding the LPV tracker."""
+    track, table, diag = racetrack_plan
+    cfg = MPCConfig(N=20, model="dynamic")
+    scfg = SolverConfig(max_iter=100)
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    log = closed_loop(P, cfg, scfg, track, x0, table, T=800, sim_tire="pacejka")
+    X = np.asarray(log.X)
+    s = X[:, 4]
+    L = float(track.length)
+    assert s[-1] > 2 * L                                # two laps completed
+    assert np.abs(X[:, 5]).max() < 0.4                  # stays on track
+    # flying lap close to the planner's promise
+    t2 = np.argmax(s > 0.1 + L)
+    t3 = np.argmax(s > 0.1 + 2 * L)
+    lap_time = (t3 - t2) / 30.0
+    assert lap_time < float(diag.lap_time) * 1.15
+    # and much faster than a conservative constant-speed lap
+    assert lap_time < L / 2.0
+
+
+def test_mpp_obstacle_shifts_corridor():
+    track = oval_track()
+    pcfg = MPPConfig(H=384)
+    # obstacle blocking the inner half of the corridor on the first straight
+    obstacles = jnp.asarray([[0.5, 1.5, -0.4, 0.05]], jnp.float32)
+    table_free, _ = plan_mpp(P, pcfg, track)
+    table_obs, diag = plan_mpp(P, pcfg, track, obstacles=obstacles)
+    assert bool(np.asarray(diag.converged).all())
+    # inside the obstacle span the planned line moves to the free (upper) side
+    s_probe = jnp.linspace(0.7, 1.3, 8)
+    ey_obs = np.asarray(table_obs.lookup(s_probe)[1])
+    assert ey_obs.min() > 0.05                          # clears the obstacle
+    ey_free = np.asarray(table_free.lookup(s_probe)[1])
+    assert ey_obs.mean() > ey_free.mean()
