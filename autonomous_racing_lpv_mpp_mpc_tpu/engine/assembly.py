@@ -152,6 +152,8 @@ def build_boxqp(
     X_sched: jnp.ndarray,     # (N+1, nx) scheduling trajectory
     U_sched: jnp.ndarray,     # (N, nu)
     x_ref: jnp.ndarray,       # (N+1, nx) tracking reference
+    stages=None,              # optional precomputed (Ad, Bd, cd) — e.g. from
+                              # the horizon-sharded evaluation (parallel/)
 ) -> BoxQP:
     """Assemble the block-structured MPC QP on the augmented state."""
     N = cfg.N
@@ -162,7 +164,9 @@ def build_boxqp(
 
     # --- scheduled stage matrices (vmap over the horizon = the N model
     # evaluations of SURVEY.md §3.1, batched instead of a Python loop) ---
-    Ad, Bd, cd = scheduled_stages(p, cfg, track, X_sched, U_sched)
+    Ad, Bd, cd = stages if stages is not None else scheduled_stages(
+        p, cfg, track, X_sched, U_sched
+    )
 
     # --- augmentation: xa = (x, u_prev) ---
     Aa, Ba, ca = augment_dynamics(Ad, Bd, cd)

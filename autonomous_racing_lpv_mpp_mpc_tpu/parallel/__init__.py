@@ -1,0 +1,23 @@
+from .mesh import make_mesh, multihost_init, scenario_sharding
+from .collectives import pmax_scalar, pmean_tree, psum_tree
+from .scenarios import (
+    ScenarioBatch,
+    make_scenario_grid,
+    sharded_closed_loop,
+    sharded_solve_step,
+    SweepMetrics,
+)
+
+__all__ = [
+    "make_mesh",
+    "multihost_init",
+    "scenario_sharding",
+    "psum_tree",
+    "pmean_tree",
+    "pmax_scalar",
+    "ScenarioBatch",
+    "make_scenario_grid",
+    "sharded_closed_loop",
+    "sharded_solve_step",
+    "SweepMetrics",
+]

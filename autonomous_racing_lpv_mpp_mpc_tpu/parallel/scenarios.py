@@ -1,0 +1,173 @@
+"""Scenario-sweep harness: thousands of closed-loop solves across a mesh.
+
+BASELINE configs 4-5 (SURVEY.md §2.2 "Data parallel"): scenario batching is
+the DP analog — ``vmap`` packs thousands of (x0, friction mu, reference)
+scenarios per chip, ``shard_map`` spreads the batch across the mesh's
+``scenarios`` axis, and per-step metrics are aggregated with ``psum`` on
+ICI/DCN (SURVEY.md §5 "Metrics"). The per-scenario control path is exactly
+the single-vehicle ``mpc_step``/``closed_loop`` — batching is purely
+structural, which is what the batched-equivalence test relies on.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.config import MPCConfig, SolverConfig, VehicleParams
+from ..loop.closed_loop import closed_loop
+from ..loop.mpc import mpc_init, mpc_step
+from ..models import model_nx
+from ..track.track import Track
+from .collectives import psum_tree
+from .mesh import SCENARIO_AXIS
+
+
+@struct.dataclass
+class ScenarioBatch:
+    """A batch of scenarios: stacked initial states and vehicle params."""
+
+    x0: jnp.ndarray          # (B, nx)
+    params: VehicleParams    # leaves stacked to (B,)
+
+    @property
+    def batch(self) -> int:
+        return self.x0.shape[0]
+
+
+class SweepMetrics(NamedTuple):
+    """Globally aggregated (psum across the mesh) sweep statistics."""
+
+    n_scenarios: jnp.ndarray
+    ey_rms: jnp.ndarray          # mean over scenarios of per-scenario RMS
+    converged_frac: jnp.ndarray
+    mean_iters: jnp.ndarray
+    mean_progress: jnp.ndarray   # mean final s
+
+
+def make_scenario_grid(
+    base: VehicleParams,
+    cfg: MPCConfig,
+    n_ey: int = 8,
+    n_mu: int = 8,
+    ey_span: float = 0.25,
+    mu_range=(0.7, 1.0),
+    vx0: float = 1.0,
+) -> ScenarioBatch:
+    """(initial e_y) x (friction mu) grid — BASELINE config 4's sweep axes."""
+    nx = model_nx(cfg.model)
+    ey_i = 5 if cfg.model == "dynamic" else 3
+    eys = jnp.linspace(-ey_span, ey_span, n_ey)
+    mus = jnp.linspace(mu_range[0], mu_range[1], n_mu)
+    ey_g, mu_g = jnp.meshgrid(eys, mus, indexing="ij")
+    ey_f, mu_f = ey_g.reshape(-1), mu_g.reshape(-1)
+    B = ey_f.shape[0]
+    x0 = jnp.zeros((B, nx), jnp.float32)
+    x0 = x0.at[:, 0].set(vx0)
+    x0 = x0.at[:, ey_i].set(ey_f)
+    params = jax.vmap(lambda m: base.replace(mu=m))(mu_f)
+    return ScenarioBatch(x0=x0, params=params)
+
+
+def _metrics_from_log(cfg: MPCConfig, log) -> SweepMetrics:
+    ey_i = 5 if cfg.model == "dynamic" else 3
+    s_i = 4 if cfg.model == "dynamic" else 2
+    # log leaves are (b_local, T, ...)
+    ey_rms = jnp.sqrt(jnp.mean(log.X[..., ey_i] ** 2, axis=-1))
+    return SweepMetrics(
+        n_scenarios=jnp.asarray(ey_rms.shape[0], jnp.float32),
+        ey_rms=jnp.sum(ey_rms),
+        converged_frac=jnp.sum(jnp.mean(log.converged.astype(jnp.float32), axis=-1)),
+        mean_iters=jnp.sum(jnp.mean(log.iters.astype(jnp.float32), axis=-1)),
+        mean_progress=jnp.sum(log.X[..., -1, s_i]),
+    )
+
+
+def _finalize(m: SweepMetrics) -> SweepMetrics:
+    n = jnp.maximum(m.n_scenarios, 1.0)
+    return SweepMetrics(
+        n_scenarios=m.n_scenarios,
+        ey_rms=m.ey_rms / n,
+        converged_frac=m.converged_frac / n,
+        mean_iters=m.mean_iters / n,
+        mean_progress=m.mean_progress / n,
+    )
+
+
+def sharded_closed_loop(
+    mesh: Mesh,
+    scen: ScenarioBatch,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    x_ref,
+    T: int,
+    sim_tire: Optional[str] = None,
+):
+    """Run B closed loops sharded over the mesh's scenario axis.
+
+    Returns (logs with leaves (B, T, ...) sharded over scenarios,
+    globally-aggregated SweepMetrics replicated on every device).
+    """
+
+    def shard_body(x0_l, params_l):
+        def one(x0, p):
+            return closed_loop(p, cfg, scfg, track, x0, x_ref, T, sim_tire=sim_tire)
+
+        log = jax.vmap(one)(x0_l, params_l)
+        local = _metrics_from_log(cfg, log)
+        global_m = psum_tree(local, SCENARIO_AXIS)
+        return log, global_m
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=(P(SCENARIO_AXIS), P()),
+        # constants (track tables, weights) enter scans as unvaried carries;
+        # the strict varying-manual-axes check rejects that mix, so disable
+        check_vma=False,
+    )
+    log, metrics = fn(scen.x0, scen.params)
+    return log, _finalize(metrics)
+
+
+def sharded_solve_step(
+    mesh: Mesh,
+    scen: ScenarioBatch,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    x_ref,
+    carries=None,
+):
+    """One batched MPC control step sharded over scenarios (latency path).
+
+    Returns (u (B, nu), new carries, diag) — the building block for
+    aggregate-throughput benchmarking (solves/s/chip).
+    """
+    if carries is None:
+        carries = jax.vmap(lambda x0, p: mpc_init(p, cfg, track, x0))(
+            scen.x0, scen.params
+        )
+
+    def shard_body(x_l, p_l, c_l):
+        def one(x, p, c):
+            return mpc_step(p, cfg, scfg, track, x, x_ref, c)
+
+        return jax.vmap(one)(x_l, p_l, c_l)
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=P(SCENARIO_AXIS),
+        check_vma=False,
+    )
+    return fn(scen.x0, scen.params, carries)

@@ -1,0 +1,109 @@
+"""Benchmark: MPC solves/s/chip (BASELINE.json headline metric).
+
+Protocol (BASELINE config 4 shape): B scenarios of the flagship dynamic-
+bicycle LPV-MPC (N=20, dt=1/30) run warm-started receding-horizon steps on
+one chip; every step = quasi-LPV scheduling + QP assembly + fixed-iteration
+ADMM/Riccati solve + plant integration for every scenario. K steps are fused
+into one dispatch (lax.scan) so tunnel/dispatch latency doesn't pollute the
+kernel measurement.
+
+Prints ONE JSON line:
+  value       = solves/s/chip
+  vs_baseline = value / 625  (the BASELINE.json north star is >=10,000
+                solves/s aggregate on a v5e-16, i.e. 625 solves/s/chip;
+                no reference-published numbers exist — BASELINE.md)
+Extra diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+        MPCConfig,
+        SolverConfig,
+        VehicleParams,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+        constant_refs,
+        mpc_init,
+        mpc_step,
+        plant_step,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel import make_scenario_grid
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    K = 10  # steps per timed dispatch
+
+    p = VehicleParams()
+    cfg = MPCConfig(N=20, model="dynamic")
+    scfg = SolverConfig(max_iter=30, rho_interval=10)
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.8)
+
+    n_mu = max(1, B // 64)
+    scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=n_mu, vx0=1.5)
+    B = scen.batch
+    log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter}")
+
+    @jax.jit
+    def k_steps(xs, carries):
+        def body(c, _):
+            xs_i, car_i = c
+
+            def one(x, pp, cc):
+                u, cc2, diag = mpc_step(pp, cfg, scfg, track, x, x_ref, cc)
+                x2 = plant_step(pp, cfg, track, x, u, n_sub=4)
+                return x2, cc2, diag.converged
+
+            xs2, car2, conv = jax.vmap(one)(xs_i, scen.params, car_i)
+            return (xs2, car2), jnp.mean(conv.astype(jnp.float32))
+
+        (xs, carries), convs = jax.lax.scan(body, (xs, carries), None, length=K)
+        return xs, carries, convs
+
+    carries = jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
+        scen.x0, scen.params
+    )
+    xs = scen.x0
+
+    # warmup: compile + reach warm-started steady state
+    t0 = time.perf_counter()
+    xs, carries, convs = k_steps(xs, carries)
+    jax.block_until_ready(xs)
+    log(f"compile+first {K} steps: {time.perf_counter()-t0:.1f}s "
+        f"converged={float(convs.mean()):.3f}")
+
+    # timed runs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xs, carries, convs = k_steps(xs, carries)
+        jax.block_until_ready(xs)
+        best = min(best, time.perf_counter() - t0)
+    solves_s = B * K / best
+    step_ms = best / K * 1e3
+    log(f"best: {best*1e3:.1f} ms for {K} steps x {B} scenarios "
+        f"-> {solves_s:,.0f} solves/s, {step_ms:.2f} ms/batched-step, "
+        f"converged={float(convs.mean()):.3f}")
+
+    print(json.dumps({
+        "metric": "MPC solves/s/chip (dynamic bicycle N=20, batched receding-horizon steps)",
+        "value": round(solves_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_s / 625.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
