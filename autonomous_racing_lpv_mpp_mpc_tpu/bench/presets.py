@@ -1,0 +1,178 @@
+"""The 5 BASELINE.json configs as runnable presets (SURVEY.md §7 L9).
+
+Each preset returns a JSON-serializable result dict; the CLI (cli.py) and
+the repo-root bench.py drive these. Presets scale to the devices present:
+config5 uses every addressable device (a pod slice when available, the
+fake-8 CPU mesh in CI).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    MPCConfig,
+    MPCWeights,
+    MPPConfig,
+    SolverConfig,
+    VehicleParams,
+)
+from ..loop import closed_loop, constant_refs, mpc_init, mpc_step, plant_step
+from ..parallel import make_mesh, make_scenario_grid, sharded_closed_loop
+from ..planner import plan_mpp
+from ..track import oval_track, racetrack
+from ..utils.metrics import lap_stats
+
+
+def _maybe_plot(cfg, track, log, plot):
+    if plot:
+        from ..utils.plotting import plot_run
+
+        plot_run(cfg, track, log, path=plot)
+
+
+def _lap_result(cfg, track, log, vx_ref=None, extra=None):
+    st = lap_stats(cfg, log, float(track.length), vx_ref=vx_ref)
+    out = {
+        "laps": st.n_laps,
+        "lap_times_s": st.lap_times,
+        "ey_rms_m": round(st.ey_rms, 4),
+        "ey_max_m": round(st.ey_max, 4),
+        "vx_mean": round(st.vx_mean, 3),
+        "converged_frac": round(st.converged_frac, 3),
+        "mean_iters": round(st.mean_iters, 1),
+    }
+    if extra:
+        out.update(extra)
+    return out
+
+
+def config1(p: VehicleParams, scfg: SolverConfig, T: int = 400,
+            plot: str = "", **kw) -> Dict:
+    """Kinematic bicycle LPV-MPC, N=10, single lap on the reference oval."""
+    cfg = MPCConfig(N=10, model="kinematic",
+                    weights=MPCWeights.for_model("kinematic"))
+    track = oval_track()
+    x0 = jnp.array([0.5, 0.0, 0.0, 0.0])
+    log = closed_loop(p, cfg, scfg, track, x0, constant_refs(cfg, 1.5), T=T)
+    _maybe_plot(cfg, track, log, plot)
+    return _lap_result(cfg, track, log, vx_ref=1.5)
+
+
+def config2(p: VehicleParams, scfg: SolverConfig, T: int = 700,
+            plot: str = "", **kw) -> Dict:
+    """Dynamic bicycle (Pacejka plant), N=20, full racetrack lap."""
+    cfg = MPCConfig(N=20, model="dynamic")
+    track = racetrack()
+    x0 = jnp.array([0.7, 0.0, 0.0, 0.0, 0.0, 0.0])
+    log = closed_loop(p, cfg, scfg, track, x0, constant_refs(cfg, 1.8), T=T,
+                      sim_tire="pacejka")
+    _maybe_plot(cfg, track, log, plot)
+    return _lap_result(cfg, track, log, vx_ref=1.8)
+
+
+def config3(p: VehicleParams, scfg: SolverConfig, T: int = 800, **kw) -> Dict:
+    """MPP planner -> tracking MPC pipeline on the racetrack."""
+    track = racetrack()
+    table, diag = plan_mpp(p, MPPConfig(), track)
+    cfg = MPCConfig(N=20, model="dynamic")
+    scfg_t = scfg.replace(max_iter=max(scfg.max_iter, 100))
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    log = closed_loop(p, cfg, scfg_t, track, x0, table, T=T, sim_tire="pacejka")
+    _maybe_plot(cfg, track, log, kw.get("plot", ""))
+    return _lap_result(
+        cfg, track, log,
+        extra={"planner_lap_time_s": round(float(diag.lap_time), 3),
+               "planner_sqp_converged": bool(np.asarray(diag.converged).all())},
+    )
+
+
+def config4(p: VehicleParams, scfg: SolverConfig, batch: int = 4096,
+            steps: int = 10, **kw) -> Dict:
+    """Batched scenario sweep on one chip: solves/s + convergence."""
+    cfg = MPCConfig(N=20, model="dynamic")
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.8)
+    scen = make_scenario_grid(p, cfg, n_ey=min(64, batch),
+                              n_mu=max(1, batch // 64), vx0=1.5)
+
+    @jax.jit
+    def k_steps(xs, carries):
+        def body(c, _):
+            xs_i, car_i = c
+
+            def one(x, pp, cc):
+                u, cc2, d = mpc_step(pp, cfg, scfg, track, x, x_ref, cc)
+                return plant_step(pp, cfg, track, x, u, n_sub=4), cc2, d.converged
+
+            xs2, car2, conv = jax.vmap(one)(xs_i, scen.params, car_i)
+            return (xs2, car2), jnp.mean(conv.astype(jnp.float32))
+
+        return jax.lax.scan(body, (xs, carries), None, length=steps)
+
+    carries = jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
+        scen.x0, scen.params)
+    state = (scen.x0, carries)
+    state, convs = jax.block_until_ready(k_steps(*state))      # compile+warm
+    t0 = time.perf_counter()
+    state, convs = jax.block_until_ready(k_steps(*state))
+    dt_wall = time.perf_counter() - t0
+    return {
+        "batch": scen.batch,
+        "solves_per_s": round(scen.batch * steps / dt_wall, 1),
+        "batched_step_ms": round(dt_wall / steps * 1e3, 2),
+        "converged_frac": round(float(convs.mean()), 3),
+    }
+
+
+def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
+            T: int = 30, **kw) -> Dict:
+    """Mesh-wide sweep with collective metric reduction (all devices)."""
+    cfg = MPCConfig(N=14, model="dynamic")
+    track = racetrack()
+    mesh = make_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    B = per_device * n_dev
+    scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=max(1, B // 64),
+                              vx0=1.5)
+    # trim to a multiple of the mesh
+    Bm = (scen.batch // n_dev) * n_dev
+    scen = jax.tree.map(lambda a: a[:Bm], scen)
+    x_ref = constant_refs(cfg, 1.8)
+
+    run = jax.jit(lambda s: sharded_closed_loop(
+        mesh, s, cfg, scfg, track, x_ref, T=T, sim_tire="pacejka"))
+    log, metrics = jax.block_until_ready(run(scen))
+    t0 = time.perf_counter()
+    log, metrics = jax.block_until_ready(run(scen))
+    dt_wall = time.perf_counter() - t0
+    return {
+        "devices": n_dev,
+        "batch": Bm,
+        "total_solves": Bm * T,
+        "solves_per_s": round(Bm * T / dt_wall, 1),
+        "ey_rms_m": round(float(metrics.ey_rms), 4),
+        "converged_frac": round(float(metrics.converged_frac), 3),
+        "mean_progress_m": round(float(metrics.mean_progress), 2),
+    }
+
+
+PRESETS: Dict[str, Callable] = {
+    "config1": config1,
+    "config2": config2,
+    "config3": config3,
+    "config4": config4,
+    "config5": config5,
+}
+
+
+def run_preset(name: str, p: Optional[VehicleParams] = None,
+               scfg: Optional[SolverConfig] = None, **kw) -> Dict:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name](p or VehicleParams(), scfg or SolverConfig(max_iter=60), **kw)

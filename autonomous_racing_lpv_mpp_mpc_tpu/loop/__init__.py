@@ -1,5 +1,6 @@
 from .mpc import MPCCarry, MPCDiag, mpc_init, mpc_prepare, mpc_step, constant_refs
 from .closed_loop import closed_loop, plant_step
+from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
 
 __all__ = [
     "MPCCarry",
@@ -10,4 +11,9 @@ __all__ = [
     "constant_refs",
     "closed_loop",
     "plant_step",
+    "EKFState",
+    "ekf_init",
+    "ekf_step",
+    "noisy_measurement",
+    "passthrough",
 ]

@@ -1,0 +1,75 @@
+"""State estimation (SURVEY.md §2 "State estimator").
+
+Reference parity: in simulation the estimator is a pass-through of the
+simulator state, optionally with measurement noise; the real-car lineage
+carries an EKF over IMU + encoder measurements. Both are provided:
+
+- ``passthrough`` / ``noisy_measurement``: the sim-loop behavior.
+- ``EKF``: discrete extended Kalman filter over the nonlinear Frenet
+  bicycle model, using the exact JAX Jacobian of the plant step. Pure
+  functions over an :class:`EKFState` pytree — jit/vmap/scan friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import MPCConfig, VehicleParams
+from ..models import f_model, model_nx
+from ..track.track import Track, curvature_at
+
+
+def passthrough(x: jnp.ndarray) -> jnp.ndarray:
+    return x
+
+
+def noisy_measurement(key, x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Simulated sensor: state + Gaussian noise with per-state sigma."""
+    return x + sigma * jax.random.normal(key, x.shape, x.dtype)
+
+
+class EKFState(NamedTuple):
+    x: jnp.ndarray    # (nx,) mean
+    P: jnp.ndarray    # (nx, nx) covariance
+
+
+def ekf_init(x0: jnp.ndarray, p0: float = 0.1) -> EKFState:
+    n = x0.shape[0]
+    return EKFState(x=x0, P=p0 * jnp.eye(n, dtype=x0.dtype))
+
+
+def ekf_step(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    track: Track,
+    st: EKFState,
+    u: jnp.ndarray,
+    z: jnp.ndarray,              # measurement (H @ x_true + noise)
+    Q: jnp.ndarray,              # (nx, nx) process noise cov
+    R: jnp.ndarray,              # (m, m) measurement noise cov
+    H: Optional[jnp.ndarray] = None,   # (m, nx) measurement matrix; default I
+) -> EKFState:
+    """One predict+update cycle at the control period."""
+    nx = model_nx(cfg.model)
+    s_idx = 4 if cfg.model == "dynamic" else 2
+    if H is None:
+        H = jnp.eye(nx, dtype=st.x.dtype)
+
+    def step_fn(x):
+        kap = curvature_at(track, x[s_idx])
+        return x + cfg.dt * f_model(p, x, u, kap, cfg.model, cfg.tire)
+
+    # predict: exact Jacobian of the discrete step by jacfwd
+    F = jax.jacfwd(step_fn)(st.x)
+    x_pred = step_fn(st.x)
+    P_pred = F @ st.P @ F.T + Q
+
+    # update
+    S = H @ P_pred @ H.T + R
+    K = jnp.linalg.solve(S.T, (P_pred @ H.T).T).T
+    x_new = x_pred + K @ (z - H @ x_pred)
+    P_new = (jnp.eye(nx, dtype=st.x.dtype) - K @ H) @ P_pred
+    return EKFState(x=x_new, P=0.5 * (P_new + P_new.T))

@@ -1,0 +1,135 @@
+"""Aux-subsystem tests (SURVEY.md §5): metrics, persistence, checkpointing,
+estimator, checkify safety, plotting, CLI driver."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+    MPCConfig,
+    MPCWeights,
+    SolverConfig,
+    VehicleParams,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+    closed_loop,
+    constant_refs,
+    ekf_init,
+    ekf_step,
+    noisy_measurement,
+    plant_step,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track
+from autonomous_racing_lpv_mpp_mpc_tpu.utils import (
+    checked_closed_loop,
+    lap_stats,
+    load_log,
+    plot_run,
+    save_log,
+    SweepCheckpoint,
+)
+
+P = VehicleParams()
+CFG = MPCConfig(N=10, model="kinematic", weights=MPCWeights.for_model("kinematic"))
+SCFG = SolverConfig(max_iter=40)
+
+
+@pytest.fixture(scope="module")
+def oval_log():
+    track = oval_track()
+    x0 = jnp.array([0.5, 0.0, 0.0, 0.0])
+    return track, closed_loop(P, CFG, SCFG, track, x0, constant_refs(CFG, 1.5), T=300)
+
+
+def test_lap_stats(oval_log):
+    track, log = oval_log
+    st = lap_stats(CFG, log, float(track.length), vx_ref=1.5)
+    assert st.n_laps >= 1
+    assert len(st.lap_times) == st.n_laps
+    assert 5.0 < st.lap_times[0] < 12.0
+    assert st.ey_rms < 0.05
+    assert st.converged_frac > 0.95
+
+
+def test_save_load_log_roundtrip(tmp_path, oval_log):
+    _, log = oval_log
+    path = str(tmp_path / "log.npz")
+    save_log(path, log, meta={"preset": "config1"})
+    back = load_log(path)
+    x_key = [k for k in back if k.endswith("X") or ".X" in k or "X" in k][0]
+    np.testing.assert_allclose(back[x_key], np.asarray(log.X))
+    assert json.load(open(path + ".meta.json"))["preset"] == "config1"
+
+
+def test_sweep_checkpoint_roundtrip(tmp_path):
+    ckpt = SweepCheckpoint(str(tmp_path / "ck"))
+    state = {"xs": jnp.arange(12.0).reshape(3, 4), "step": jnp.asarray(7)}
+    ckpt.save(7, state)
+    assert ckpt.latest_step() == 7
+    step, restored = ckpt.restore(jax.tree.map(jnp.zeros_like, state))
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored["xs"]), np.asarray(state["xs"]))
+
+
+def test_ekf_tracks_true_state():
+    track = oval_track()
+    key = jax.random.PRNGKey(0)
+    x_true = jnp.array([1.2, 0.0, 0.0, 0.05])
+    u = jnp.array([0.05, 0.2])
+    sigma = jnp.array([0.05, 0.02, 0.02, 0.02])
+    Q = 1e-4 * jnp.eye(4)
+    R = jnp.diag(sigma**2)
+    st = ekf_init(x_true + jnp.array([0.3, 0.1, 0.0, -0.2]), p0=0.5)
+    err0 = float(jnp.linalg.norm(st.x - x_true))
+    for i in range(30):
+        x_true = plant_step(P, CFG, track, x_true, u, n_sub=4)
+        key, k2 = jax.random.split(key)
+        z = noisy_measurement(k2, x_true, sigma)
+        st = ekf_step(P, CFG, track, st, u, z, Q, R)
+    err = float(jnp.linalg.norm(st.x - x_true))
+    assert err < err0 / 3
+    assert err < 0.1
+
+
+def test_checked_closed_loop_flags_bad_state():
+    track = oval_track()
+    err, log = checked_closed_loop(
+        P, CFG, SCFG, track, jnp.array([0.5, 0.0, 0.0, 0.0]),
+        constant_refs(CFG, 1.2), T=30,
+    )
+    err.throw()  # sane run: no error
+    # absurd start far off the track triggers the check
+    err_bad, _ = checked_closed_loop(
+        P, CFG, SCFG, track, jnp.array([0.5, 0.0, 0.0, 25.0]),
+        constant_refs(CFG, 1.2), T=30, ey_limit=1.0,
+    )
+    with pytest.raises(Exception):
+        err_bad.throw()
+
+
+def test_plot_run_writes_file(tmp_path, oval_log):
+    track, log = oval_log
+    out = str(tmp_path / "run.png")
+    plot_run(CFG, track, log, path=out)
+    assert os.path.getsize(out) > 10_000
+
+
+def test_cli_run_config1(capsys):
+    from autonomous_racing_lpv_mpp_mpc_tpu.cli import main
+
+    rc = main(["run", "config1", "T=120", "max_iter=30"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["preset"] == "config1"
+    assert out["converged_frac"] > 0.9
+
+
+def test_cli_list(capsys):
+    from autonomous_racing_lpv_mpp_mpc_tpu.cli import main
+
+    assert main(["list"]) == 0
+    assert "config5" in capsys.readouterr().out
