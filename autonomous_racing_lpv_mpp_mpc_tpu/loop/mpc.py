@@ -32,6 +32,7 @@ class MPCCarry(NamedTuple):
     s: jnp.ndarray        # (N+1, nc) ADMM split warm start
     lam: jnp.ndarray      # (N+1, nc) ADMM dual warm start
     u_prev: jnp.ndarray   # (nu,) last applied control
+    rho: jnp.ndarray      # () warm-started ADMM penalty
 
 
 class MPCDiag(NamedTuple):
@@ -62,7 +63,10 @@ def mpc_init(
     X, U = initial_schedule(p, cfg, track, x0, u0)
     nc = N_CON
     z = jnp.zeros((cfg.N + 1, nc), jnp.float32)
-    return MPCCarry(X_pred=X, U_pred=U, s=z, lam=z, u_prev=u0)
+    return MPCCarry(
+        X_pred=X, U_pred=U, s=z, lam=z, u_prev=u0,
+        rho=jnp.asarray(0.1, jnp.float32),
+    )
 
 
 def mpc_prepare(
@@ -114,7 +118,7 @@ def mpc_step(
     """One control step. Returns (u0, new_carry, diag)."""
     nx = model_nx(cfg.model)
     qp, warm, U_sched = mpc_prepare(p, cfg, track, x, x_ref, carry)
-    sol = admm_solve(qp, scfg, warm=warm)
+    sol = admm_solve(qp, scfg, warm=warm, rho0=carry.rho)
 
     # degraded mode (SURVEY.md §5): limp-home controller — geometric
     # feed-forward steering toward the centerline + gentle braking with a
@@ -141,7 +145,8 @@ def mpc_step(
     U_new = jnp.where(usable, sol.U, U_sched)
 
     new_carry = MPCCarry(
-        X_pred=X_new, U_pred=U_new, s=sol.s, lam=sol.lam, u_prev=u
+        X_pred=X_new, U_pred=U_new, s=sol.s, lam=sol.lam, u_prev=u,
+        rho=sol.rho,
     )
     diag = MPCDiag(
         converged=sol.converged, iters=sol.iters,

