@@ -21,3 +21,20 @@ SURVEY.md §0.1 + BASELINE.json is the reference):
 """
 
 __version__ = "0.1.0"
+
+# TPU XLA lowers f32 matmuls to bf16 multiplies by default ("default"
+# precision). For a control stack that is a SEMANTIC change: the Riccati /
+# ADMM solution drifts in the 3rd digit while its internally-consistent
+# residuals still report convergence (verified against the f64 oracle — the
+# Pallas kernel, whose VPU ops are true f32, matches the oracle; the bf16
+# XLA path does not). Force true-f32 matmuls; opt out via env if you
+# explicitly want bf16 speed.
+import os as _os
+
+if _os.environ.get("ARLMPC_MATMUL_PRECISION", "highest") != "default":
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ.get("ARLMPC_MATMUL_PRECISION", "highest"),
+    )

@@ -155,6 +155,9 @@ class SolverConfig:
     # single-solve path: early-exit while_loop on termination check;
     # batched path: fixed iteration count (static shapes). SURVEY.md §7 L4.
     check_termination: int = struct.field(pytree_node=False, default=5)
+    # batched-solve backend: "xla" (vmapped scans) or "pallas" (fused VMEM
+    # kernel, TPU only — ~3.6x faster at batch 4096)
+    backend: str = struct.field(pytree_node=False, default="xla")
 
 
 @struct.dataclass

@@ -1,4 +1,12 @@
-from .mpc import MPCCarry, MPCDiag, mpc_init, mpc_prepare, mpc_step, constant_refs
+from .mpc import (
+    MPCCarry,
+    MPCDiag,
+    constant_refs,
+    mpc_init,
+    mpc_prepare,
+    mpc_step,
+    mpc_step_batched,
+)
 from .closed_loop import closed_loop, plant_step
 from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
 
@@ -8,6 +16,7 @@ __all__ = [
     "mpc_init",
     "mpc_prepare",
     "mpc_step",
+    "mpc_step_batched",
     "constant_refs",
     "closed_loop",
     "plant_step",

@@ -42,40 +42,42 @@ def main():
     from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
         constant_refs,
         mpc_init,
-        mpc_step,
+        mpc_step_batched,
         plant_step,
     )
     from autonomous_racing_lpv_mpp_mpc_tpu.parallel import make_scenario_grid
     from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
     K = 10  # steps per timed dispatch
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
     # rho_interval=0 + carried rho => exactly one Riccati factorization per
-    # solve; 20 warm-started iterations hold >99% convergence in closed loop
-    scfg = SolverConfig(max_iter=20, rho_interval=0)
+    # solve; 20 warm-started iterations hold >99% convergence in closed loop.
+    # backend="pallas": the fused VMEM kernel (ops/admm_kernel.py).
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
     track = racetrack()
     x_ref = constant_refs(cfg, 1.8)
 
     n_mu = max(1, B // 64)
     scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=n_mu, vx0=1.5)
     B = scen.batch
-    log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter}")
+    log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
+        f"backend={backend}")
 
     @jax.jit
     def k_steps(xs, carries):
         def body(c, _):
             xs_i, car_i = c
-
-            def one(x, pp, cc):
-                u, cc2, diag = mpc_step(pp, cfg, scfg, track, x, x_ref, cc)
-                x2 = plant_step(pp, cfg, track, x, u, n_sub=4)
-                return x2, cc2, diag.converged
-
-            xs2, car2, conv = jax.vmap(one)(xs_i, scen.params, car_i)
-            return (xs2, car2), jnp.mean(conv.astype(jnp.float32))
+            u_b, car2, diag = mpc_step_batched(
+                scen.params, cfg, scfg, track, xs_i, x_ref, car_i
+            )
+            xs2 = jax.vmap(
+                lambda pp, x, u: plant_step(pp, cfg, track, x, u, n_sub=4)
+            )(scen.params, xs_i, u_b)
+            return (xs2, car2), jnp.mean(diag.converged.astype(jnp.float32))
 
         (xs, carries), convs = jax.lax.scan(body, (xs, carries), None, length=K)
         return xs, carries, convs
