@@ -132,7 +132,9 @@ def scheduled_stages(p, cfg, track, X_sched, U_sched):
 
     if cfg.linearization == "lpv":
         def stage(xk, uk, kap):
-            A, B = lpv_ab(p, xk, uk, kap, cfg.model)
+            # tire="pacejka" selects the Pacejka-linearized (secant
+            # stiffness) LPV — BASELINE.json config 2
+            A, B = lpv_ab(p, xk, uk, kap, cfg.model, cfg.tire)
             Ad, Bd = discretize(A, B, cfg.dt, method=cfg.discretization)
             return Ad, Bd, jnp.zeros((nx,), f32)
     else:

@@ -38,13 +38,40 @@ def _sinc(x):
     return jnp.sinc(x / jnp.pi)
 
 
-def lpv_ab_dynamic(p: VehicleParams, x_bar, u_bar, kappa):
+def _effective_stiffness(p: VehicleParams, x_bar, u_bar, tire: str):
+    """(Cf_eff, Cr_eff): secant cornering stiffness at the scheduled slip.
+
+    "Pacejka-linearized" LPV (BASELINE.json config 2): for the saturating
+    tire, the LPV uses the secant slope Fy(alpha_bar)/alpha_bar of the magic
+    formula at the scheduling point, so predictions soften as the car
+    approaches the grip limit. For the linear tire this reduces to (Cf, Cr).
+    """
+    if tire == "linear":
+        return p.Cf, p.Cr
+    from .tires import axle_loads, tire_force_pacejka
+
+    vx, vy, wz = x_bar[0], x_bar[1], x_bar[2]
+    delta = u_bar[0]
+    vxs = jnp.maximum(vx, VX_EPS)
+    alpha_f = delta - jnp.arctan2(vy + p.lf * wz, vxs)
+    alpha_r = -jnp.arctan2(vy - p.lr * wz, vxs)
+    fzf_mu, fzr_mu = axle_loads(p)
+    eps = 1e-4
+    af = jnp.where(jnp.abs(alpha_f) < eps, eps, alpha_f)
+    ar = jnp.where(jnp.abs(alpha_r) < eps, eps, alpha_r)
+    cf = tire_force_pacejka(af, p.Cf, fzf_mu) / af
+    cr = tire_force_pacejka(ar, p.Cr, fzr_mu) / ar
+    return cf, cr
+
+
+def lpv_ab_dynamic(p: VehicleParams, x_bar, u_bar, kappa, tire: str = "linear"):
     """Continuous-time (A, B) for the dynamic bicycle at scheduling point.
 
     x = (vx, vy, wz, e_psi, s, e_y), u = (delta, a).
     """
     vx, vy, wz, epsi, _s, ey = x_bar
     delta = u_bar[0]
+    Cf, Cr = _effective_stiffness(p, x_bar, u_bar, tire)
     vxs = jnp.maximum(vx, VX_EPS)
     sd, cd = jnp.sin(delta), jnp.cos(delta)
     se, ce = jnp.sin(epsi), jnp.cos(epsi)
@@ -55,20 +82,20 @@ def lpv_ab_dynamic(p: VehicleParams, x_bar, u_bar, kappa):
 
     # vx row: a - Fyf sin(d)/m + wz vy - drag/m
     A = A.at[0, 0].set(-(p.cd1 + p.cd0 / vxs) / p.m)
-    A = A.at[0, 1].set(p.Cf * sd / (p.m * vxs) + wz)
-    A = A.at[0, 2].set(p.Cf * p.lf * sd / (p.m * vxs))
-    B = B.at[0, 0].set(-p.Cf * sd / p.m)
+    A = A.at[0, 1].set(Cf * sd / (p.m * vxs) + wz)
+    A = A.at[0, 2].set(Cf * p.lf * sd / (p.m * vxs))
+    B = B.at[0, 0].set(-Cf * sd / p.m)
     B = B.at[0, 1].set(1.0)
 
     # vy row: (Fyf cos(d) + Fyr)/m - wz vx
-    A = A.at[1, 1].set(-(p.Cf * cd + p.Cr) / (p.m * vxs))
-    A = A.at[1, 2].set((-p.Cf * p.lf * cd + p.Cr * p.lr) / (p.m * vxs) - vxs)
-    B = B.at[1, 0].set(p.Cf * cd / p.m)
+    A = A.at[1, 1].set(-(Cf * cd + Cr) / (p.m * vxs))
+    A = A.at[1, 2].set((-Cf * p.lf * cd + Cr * p.lr) / (p.m * vxs) - vxs)
+    B = B.at[1, 0].set(Cf * cd / p.m)
 
     # wz row: (lf Fyf cos(d) - lr Fyr)/Iz
-    A = A.at[2, 1].set((-p.lf * p.Cf * cd + p.lr * p.Cr) / (p.Iz * vxs))
-    A = A.at[2, 2].set(-(p.lf**2 * p.Cf * cd + p.lr**2 * p.Cr) / (p.Iz * vxs))
-    B = B.at[2, 0].set(p.lf * p.Cf * cd / p.Iz)
+    A = A.at[2, 1].set((-p.lf * Cf * cd + p.lr * Cr) / (p.Iz * vxs))
+    A = A.at[2, 2].set(-(p.lf**2 * Cf * cd + p.lr**2 * Cr) / (p.Iz * vxs))
+    B = B.at[2, 0].set(p.lf * Cf * cd / p.Iz)
 
     # e_psi row: wz - kappa * sdot
     A = A.at[3, 0].set(-kappa * ce / denom)
@@ -117,9 +144,9 @@ def lpv_ab_kinematic(p: VehicleParams, x_bar, u_bar, kappa):
     return A, B
 
 
-def lpv_ab(p: VehicleParams, x_bar, u_bar, kappa, model: str):
+def lpv_ab(p: VehicleParams, x_bar, u_bar, kappa, model: str, tire: str = "linear"):
     if model == "dynamic":
-        return lpv_ab_dynamic(p, x_bar, u_bar, kappa)
+        return lpv_ab_dynamic(p, x_bar, u_bar, kappa, tire)
     if model == "kinematic":
         return lpv_ab_kinematic(p, x_bar, u_bar, kappa)
     raise ValueError(f"unknown model: {model!r}")

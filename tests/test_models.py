@@ -76,6 +76,24 @@ def test_lpv_keeps_steering_to_lateral_coupling():
     assert abs(float(Bk[1, 0])) > 0.1
 
 
+def test_pacejka_linearized_lpv_softens_at_high_slip():
+    """BASELINE config 2 "Pacejka-linearized": the LPV's effective cornering
+    stiffness is the secant slope of the magic formula at the scheduled
+    slip — it must shrink as slip grows, and reduce to linear at zero slip."""
+    x_small = jnp.array([2.5, 0.01, 0.05, 0.0, 0.0, 0.0])
+    x_large = jnp.array([2.5, 0.5, 2.5, 0.0, 0.0, 0.0])
+    u = jnp.array([0.25, 0.5])
+    A_lin, _ = lpv_ab_dynamic(P, x_small, u, 0.8, "linear")
+    A_p_small, _ = lpv_ab_dynamic(P, x_small, u, 0.8, "pacejka")
+    A_p_large, _ = lpv_ab_dynamic(P, x_large, u, 0.8, "pacejka")
+    # near-zero slip: pacejka ~ linear
+    np.testing.assert_allclose(
+        float(A_p_small[1, 1]), float(A_lin[1, 1]), rtol=0.05
+    )
+    # large slip: |A[1,1]| = (Cf_eff+Cr_eff)/(m vx) strictly smaller
+    assert abs(float(A_p_large[1, 1])) < 0.8 * abs(float(A_lin[1, 1]))
+
+
 def test_ltv_matches_numeric_jacobian():
     x, u, kappa = _point_dyn()
     A, B, c = ltv_abc(P, x, u, kappa, "dynamic")
