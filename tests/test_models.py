@@ -81,11 +81,13 @@ def test_pacejka_linearized_lpv_softens_at_high_slip():
     stiffness is the secant slope of the magic formula at the scheduled
     slip — it must shrink as slip grows, and reduce to linear at zero slip."""
     x_small = jnp.array([2.5, 0.01, 0.05, 0.0, 0.0, 0.0])
-    x_large = jnp.array([2.5, 0.5, 2.5, 0.0, 0.0, 0.0])
-    u = jnp.array([0.25, 0.5])
-    A_lin, _ = lpv_ab_dynamic(P, x_small, u, 0.8, "linear")
-    A_p_small, _ = lpv_ab_dynamic(P, x_small, u, 0.8, "pacejka")
-    A_p_large, _ = lpv_ab_dynamic(P, x_large, u, 0.8, "pacejka")
+    u_small = jnp.array([0.02, 0.5])     # tiny steering -> tiny slip
+    # vy=1.5 at vx=2.5 -> slip angles ~0.3-0.5 rad, deep in saturation
+    x_large = jnp.array([2.5, 1.5, 0.0, 0.0, 0.0, 0.0])
+    u_large = jnp.array([0.25, 0.5])
+    A_lin, _ = lpv_ab_dynamic(P, x_small, u_small, 0.8, "linear")
+    A_p_small, _ = lpv_ab_dynamic(P, x_small, u_small, 0.8, "pacejka")
+    A_p_large, _ = lpv_ab_dynamic(P, x_large, u_large, 0.8, "pacejka")
     # near-zero slip: pacejka ~ linear
     np.testing.assert_allclose(
         float(A_p_small[1, 1]), float(A_lin[1, 1]), rtol=0.05
