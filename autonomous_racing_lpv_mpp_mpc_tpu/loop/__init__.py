@@ -9,6 +9,7 @@ from .mpc import (
 )
 from .closed_loop import closed_loop, plant_step
 from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
+from .global_loop import GlobalLog, closed_loop_global, f_global, global_plant_step
 
 __all__ = [
     "MPCCarry",
@@ -25,4 +26,8 @@ __all__ = [
     "ekf_step",
     "noisy_measurement",
     "passthrough",
+    "GlobalLog",
+    "closed_loop_global",
+    "f_global",
+    "global_plant_step",
 ]
