@@ -1,5 +1,6 @@
 from .mesh import make_mesh, multihost_init, scenario_sharding
 from .collectives import pmax_scalar, pmean_tree, psum_tree
+from .riccati_dist import riccati_factor_horizon_sharded
 from .scenarios import (
     ScenarioBatch,
     make_scenario_grid,
@@ -20,4 +21,5 @@ __all__ = [
     "sharded_closed_loop",
     "sharded_solve_step",
     "SweepMetrics",
+    "riccati_factor_horizon_sharded",
 ]

@@ -1,0 +1,116 @@
+"""Cross-chip horizon-sharded Riccati factorization.
+
+BASELINE.json: "the condensed QP is solved by a batched ADMM/Riccati solver
+whose block reductions over the horizon use XLA scans and cross-chip
+collectives". This module distributes the O(N na^3) value-function
+recursion across the mesh's ``horizon`` axis:
+
+1. each chip runs a LOCAL reverse ``associative_scan`` over its chunk of
+   value-composition elements (A, C, J) — same algebra as
+   solver/riccati.py::riccati_factor_assoc;
+2. the per-chip chunk aggregates are ``all_gather``-ed (tiny: one (na,na)
+   triple per chip) and every chip combines the aggregates of all LATER
+   chunks into its exclusive suffix;
+3. local suffixes are completed with the exclusive suffix, giving every
+   chip the exact V_{k+1} for each of its local stages, from which gains
+   are formed stage-locally.
+
+The affine backward/forward sweeps are O(N na^2) — they are run replicated
+from the all-gathered factors rather than distributed (latency-optimal for
+the sweep sizes of this domain).
+
+Must be called INSIDE ``shard_map`` with the horizon axis in scope; each
+chip passes its local chunk of stages. Verified against the single-device
+factorization in tests/test_parallel.py on the fake 8-device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.riccati import LQRCost, LQRDynamics, RiccatiFactors, _sym
+
+
+def _combine3(e_later, e_earlier, I):
+    """Value-composition combine (see solver/riccati.py for the algebra)."""
+    Ai, Ci, Ji = e_earlier
+    Aj, Cj, Jj = e_later
+    M1 = jnp.linalg.solve(I + Ci @ Jj, Ai)
+    M2 = jnp.linalg.solve(I + Jj @ Ci, Jj)
+    A_new = Aj @ M1
+    C_new = _sym(Aj @ jnp.linalg.solve(I + Ci @ Jj, Ci) @ jnp.swapaxes(Aj, -1, -2) + Cj)
+    J_new = _sym(jnp.swapaxes(Ai, -1, -2) @ M2 @ Ai + Ji)
+    return (A_new, C_new, J_new)
+
+
+def riccati_factor_horizon_sharded(
+    dyn: LQRDynamics,       # LOCAL chunk: A (Nc,na,na), B (Nc,na,nu), c (Nc,na)
+    cost: LQRCost,          # LOCAL chunk: Q (Nc+1,...) — row Nc is the value
+                            # seed for the chunk boundary; only the LAST chip's
+                            # terminal row is used (others are ignored)
+    axis_name: str,
+) -> RiccatiFactors:
+    """Distributed factorization of the full-horizon LQR; returns the LOCAL
+    chunk's factors (gains for this chip's stages)."""
+    Nc, na, _ = dyn.A.shape
+    I = jnp.eye(na, dtype=dyn.A.dtype)
+    nh = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # canonical elements for local stages (cross terms removed)
+    Rinv = jnp.linalg.inv(_sym(cost.R))
+    F = dyn.A - jnp.einsum("kiu,kuv,kjv->kij", dyn.B, Rinv, cost.M)
+    Xq = _sym(cost.Q[:-1] - jnp.einsum("kiu,kuv,kjv->kij", cost.M, Rinv, cost.M))
+    C = jnp.einsum("kiu,kuv,kjv->kij", dyn.B, Rinv, dyn.B)
+
+    # last chip appends the terminal element (A=0, C=0, J=Q_N)
+    zero = jnp.zeros((1, na, na), dyn.A.dtype)
+    is_last = idx == nh - 1
+    termJ = jnp.where(is_last, cost.Q[-1], jnp.zeros_like(cost.Q[-1]))
+    # identity element for non-last chips' padding slot: (A=I, C=0, J=0)
+    padA = jnp.where(is_last, jnp.zeros_like(I), I)[None]
+    elem_A = jnp.concatenate([F, padA], axis=0)
+    elem_C = jnp.concatenate([C, zero], axis=0)
+    elem_J = jnp.concatenate([Xq, termJ[None]], axis=0)
+
+    comb = lambda a, b: _combine3(a, b, I)
+
+    # 1. local reverse suffix scan (includes the terminal/identity pad slot)
+    local_suffix = jax.lax.associative_scan(
+        comb, (elem_A, elem_C, elem_J), reverse=True, axis=0
+    )
+
+    # 2. chunk aggregate = suffix at the first local element
+    agg = jax.tree.map(lambda a: a[0], local_suffix)
+    aggs = jax.tree.map(
+        lambda a: jax.lax.all_gather(a, axis_name, axis=0), agg
+    )  # (nh, na, na) each
+
+    # 3. exclusive suffix of LATER chunks (identity element if none);
+    # fold from the back: agg_j is EARLIER than the accumulated excl
+    excl = (I, jnp.zeros_like(I), jnp.zeros_like(I))
+    for j in range(nh - 1, 0, -1):  # chunks nh-1 .. 1
+        cand = jax.tree.map(lambda a, _j=j: a[_j], aggs)
+        new = _combine3(excl, cand, I)
+        take = j > idx
+        excl = jax.tree.map(lambda n, e: jnp.where(take, n, e), new, excl)
+
+    # 4. complete local suffixes: global_suffix_k = excl ∘ local_suffix_k
+    # (the local part is earlier in time than the later chunks)
+    _fA, _fC, fJ = jax.vmap(lambda a, c, jm: _combine3(excl, (a, c, jm), I))(
+        *local_suffix
+    )
+
+    # V_{k+1} for local stage k lives at suffix index k+1
+    V_next = fJ[1:]
+
+    VB = jnp.einsum("kij,kju->kiu", V_next, dyn.B)
+    Huu = cost.R + jnp.einsum("kju,kji->kui", dyn.B, VB)
+    Hux = jnp.swapaxes(cost.M, -1, -2) + jnp.einsum(
+        "kju,kji->kui", dyn.B, jnp.einsum("kij,kjl->kil", V_next, dyn.A)
+    )
+    Huu_inv = jnp.linalg.inv(_sym(Huu))
+    K = -jnp.einsum("kuv,kvi->kui", Huu_inv, Hux)
+    Vc = jnp.einsum("kij,kj->ki", V_next, dyn.c)
+    return RiccatiFactors(K, Huu_inv, Hux, Vc, dyn.A, dyn.B, dyn.c)

@@ -101,6 +101,65 @@ def test_horizon_sharded_solve_matches_plain():
     np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), atol=1e-5)
 
 
+def test_horizon_sharded_riccati_matches_single_device():
+    """Cross-chip Riccati: local associative suffix scans + all_gather of
+    chunk aggregates reproduce the single-device factorization exactly."""
+    from jax.sharding import PartitionSpec as PS
+
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel.riccati_dist import (
+        riccati_factor_horizon_sharded,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.solver import (
+        LQRCost,
+        LQRDynamics,
+        riccati_factor_scan,
+    )
+
+    rng = np.random.default_rng(0)
+    N, na, nu, nh = 16, 4, 2, 4
+    A = jnp.asarray(np.stack([np.eye(na) + 0.05 * rng.standard_normal((na, na))
+                              for _ in range(N)]), jnp.float32)
+    B = jnp.asarray(0.2 * rng.standard_normal((N, na, nu)), jnp.float32)
+    c = jnp.asarray(0.05 * rng.standard_normal((N, na)), jnp.float32)
+    Q = jnp.asarray(np.stack([np.diag(rng.uniform(0.2, 2.0, na))
+                              for _ in range(N + 1)]), jnp.float32)
+    q = jnp.zeros((N + 1, na), jnp.float32)
+    R = jnp.asarray(np.stack([np.diag(rng.uniform(0.3, 1.5, nu))
+                              for _ in range(N)]), jnp.float32)
+    r = jnp.zeros((N, nu), jnp.float32)
+    M = jnp.asarray(0.02 * rng.standard_normal((N, na, nu)), jnp.float32)
+    dyn = LQRDynamics(A, B, c)
+    cost = LQRCost(Q, q, R, r, M)
+
+    ref = riccati_factor_scan(dyn, cost)
+
+    mesh = make_mesh(n_scenario=1, n_horizon=nh, devices=jax.devices()[:nh])
+
+    def body(A_l, B_l, c_l, Q_l, R_l, r_l, M_l, Qterm):
+        # per-chip chunk + a local terminal row (only last chip's is used)
+        cost_l = LQRCost(
+            jnp.concatenate([Q_l, Qterm], axis=0),
+            jnp.zeros((Q_l.shape[0] + 1, na), jnp.float32),
+            R_l, r_l, M_l,
+        )
+        fac = riccati_factor_horizon_sharded(
+            LQRDynamics(A_l, B_l, c_l), cost_l, "horizon"
+        )
+        return fac.K, fac.Vc
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PS("horizon"), PS("horizon"), PS("horizon"), PS("horizon"),
+                  PS("horizon"), PS("horizon"), PS("horizon"), PS()),
+        out_specs=(PS("horizon"), PS("horizon")),
+        check_vma=False,
+    )
+    K_d, Vc_d = fn(A, B, c, Q[:N], R, r, M, Q[N:])
+    np.testing.assert_allclose(np.asarray(K_d), np.asarray(ref.K), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Vc_d), np.asarray(ref.Vc), atol=2e-4)
+
+
 def test_graft_entry_and_dryrun():
     import importlib.util, os
 
