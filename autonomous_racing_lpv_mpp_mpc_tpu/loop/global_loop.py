@@ -89,25 +89,49 @@ def closed_loop_global(
     sim_tire: Optional[str] = None,
     noise_sigma: Optional[jnp.ndarray] = None,
     key: Optional[jnp.ndarray] = None,
+    use_ekf: bool = False,
 ) -> GlobalLog:
-    """World-frame plant + Frenet conversion + (optional) noisy measurement."""
+    """World-frame plant + Frenet conversion + (optional) noisy measurement.
+
+    With ``use_ekf=True`` the noisy Frenet measurement is filtered by the
+    EKF (loop/estimator.py) before reaching the MPC — the full
+    estimate -> plan -> solve -> apply -> simulate structure of
+    SURVEY.md §3.1 with a real observer in the chain.
+    """
     assert cfg.model == "dynamic", "global-frame loop uses the dynamic model"
+    from .estimator import EKFState, ekf_init, ekf_step
+
     Xw, Yw, psiw = frenet_to_global(track, x0_frenet[4], x0_frenet[5], x0_frenet[3])
     xg0 = jnp.stack([x0_frenet[0], x0_frenet[1], x0_frenet[2], Xw, Yw, psiw])
     carry0 = mpc_init(p, cfg, track, x0_frenet)
     if key is None:
         key = jax.random.PRNGKey(0)
+    ekf0 = ekf_init(x0_frenet)
+    nx = x0_frenet.shape[0]
+    Qn = 1e-4 * jnp.eye(nx, dtype=x0_frenet.dtype)
+    Rn = (
+        jnp.diag(noise_sigma**2) if noise_sigma is not None
+        else 1e-4 * jnp.eye(nx, dtype=x0_frenet.dtype)
+    )
 
     def step(c, _):
-        xg, mpc_carry, s_prev, k = c
-        xf = estimate_frenet(track, xg, s_hint=s_prev)
+        xg, mpc_carry, ekf, u_prev, s_prev, k = c
+        z = estimate_frenet(track, xg, s_hint=s_prev)
         if noise_sigma is not None:
             k, k2 = jax.random.split(k)
-            xf = xf + noise_sigma * jax.random.normal(k2, xf.shape, xf.dtype)
+            z = z + noise_sigma * jax.random.normal(k2, z.shape, z.dtype)
+        if use_ekf:
+            ekf = ekf_step(p, cfg, track, ekf, u_prev, z, Qn, Rn)
+            xf = ekf.x
+        else:
+            xf = z
         u, mpc_carry, diag = mpc_step(p, cfg, scfg, track, xf, x_ref, mpc_carry)
         xg_next = global_plant_step(p, cfg, xg, u, n_sub=n_sub, sim_tire=sim_tire)
-        return (xg_next, mpc_carry, xf[4], k), (xg_next, xf, u, diag.converged)
+        return (
+            (xg_next, mpc_carry, ekf, u, xf[4], k),
+            (xg_next, xf, u, diag.converged),
+        )
 
-    init = (xg0, carry0, x0_frenet[4], key)
+    init = (xg0, carry0, ekf0, jnp.zeros(2, x0_frenet.dtype), x0_frenet[4], key)
     _, (Xg, Xf, U, conv) = jax.lax.scan(step, init, None, length=T)
     return GlobalLog(Xg=Xg, Xf=Xf, U=U, converged=conv)
