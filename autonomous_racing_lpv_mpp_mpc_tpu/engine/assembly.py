@@ -145,6 +145,39 @@ def scheduled_stages(p, cfg, track, X_sched, U_sched):
     return jax.vmap(stage)(X_sched[:N], U_sched, kappas)
 
 
+def tracker_bounds(p: VehicleParams, cfg: MPCConfig, track: Track, X_sched):
+    """(N+1, N_CON) stage bounds for the tracker QP: standard boxes +
+    per-stage friction-circle vx caps; stage-0 state rows and terminal
+    input/rate rows disabled."""
+    N = X_sched.shape[0] - 1
+    f32 = X_sched.dtype
+    b = cfg.bounds
+    lo = jnp.asarray(
+        [b.vx_min, -b.ey_max, -b.delta_max, b.a_min, -b.ddelta_max, -b.da_max], f32
+    )
+    hi = jnp.asarray(
+        [b.vx_max, b.ey_max, b.delta_max, b.a_max, b.ddelta_max, b.da_max], f32
+    )
+    lb = jnp.tile(lo[None], (N + 1, 1))
+    ub = jnp.tile(hi[None], (N + 1, 1))
+    if cfg.kappa_speed_cap:
+        # per-stage vx cap from the friction circle at the scheduled s:
+        # makes the tracker brake into corners even when vx_ref is high
+        s_idx = _s_index(cfg.model)
+        v_cap = speed_cap_at(
+            p, track, X_sched[:, s_idx], b.vx_min, b.vx_max, cfg.a_lat_frac
+        )
+        ub = ub.at[:, 0].set(v_cap)
+    inf = jnp.asarray(jnp.inf, f32)
+    # stage 0: state rows are constants (x0 fixed) -> disabled
+    lb = lb.at[0, :2].set(-inf)
+    ub = ub.at[0, :2].set(inf)
+    # terminal: no u_N -> input/rate rows disabled
+    lb = lb.at[N, 2:].set(-inf)
+    ub = ub.at[N, 2:].set(inf)
+    return lb, ub
+
+
 def build_boxqp(
     p: VehicleParams,
     cfg: MPCConfig,
@@ -198,30 +231,7 @@ def build_boxqp(
     # --- constraint rows ---
     b = cfg.bounds
     Dx, Du = constraint_rows(cfg.model, f32)
-
-    lo = jnp.asarray(
-        [b.vx_min, -b.ey_max, -b.delta_max, b.a_min, -b.ddelta_max, -b.da_max], f32
-    )
-    hi = jnp.asarray(
-        [b.vx_max, b.ey_max, b.delta_max, b.a_max, b.ddelta_max, b.da_max], f32
-    )
-    lb = jnp.tile(lo[None], (N + 1, 1))
-    ub = jnp.tile(hi[None], (N + 1, 1))
-    if cfg.kappa_speed_cap:
-        # per-stage vx cap from the friction circle at the scheduled s:
-        # makes the tracker brake into corners even when vx_ref is high
-        s_idx = _s_index(cfg.model)
-        v_cap = speed_cap_at(
-            p, track, X_sched[:, s_idx], b.vx_min, b.vx_max, cfg.a_lat_frac
-        )
-        ub = ub.at[:, 0].set(v_cap)
-    inf = jnp.asarray(jnp.inf, f32)
-    # stage 0: state rows are constants (x0 fixed) -> disabled
-    lb = lb.at[0, :2].set(-inf)
-    ub = ub.at[0, :2].set(inf)
-    # terminal: no u_N -> input/rate rows disabled
-    lb = lb.at[N, 2:].set(-inf)
-    ub = ub.at[N, 2:].set(inf)
+    lb, ub = tracker_bounds(p, cfg, track, X_sched)
 
     # soft e_y corridor (row 1); everything else hard
     soft = jnp.full((N_CON,), jnp.inf, f32).at[1].set(b.ey_soft)

@@ -107,6 +107,37 @@ def mpc_prepare(
     return qp, (s_w, lam_w, Xa_w, U_sched), U_sched
 
 
+def mpc_prepare_light(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    track: Track,
+    x: jnp.ndarray,
+    x_ref,
+    carry: MPCCarry,
+):
+    """Scheduling/bounds/warm-start WITHOUT stage-matrix evaluation — the
+    fused kernel (ops/fused_kernel.py) builds the stage matrices itself.
+
+    Returns (X_sched, U_sched, kappas, x_ref_arr, lb, ub, x0a, warm).
+    """
+    from ..engine.assembly import tracker_bounds
+    from ..track.track import curvature_at
+
+    X_shift, U_sched = shift_schedule(carry.X_pred, carry.U_pred)
+    X_sched = jnp.concatenate([x[None], X_shift[1:]], axis=0)
+    s_idx = 4 if cfg.model == "dynamic" else 2
+    kappas = curvature_at(track, X_sched[: cfg.N, s_idx])
+    if isinstance(x_ref, RefTable):
+        x_ref = refs_from_table(cfg, x_ref, X_sched[:, s_idx])
+    lb, ub = tracker_bounds(p, cfg, track, X_sched)
+    x0a = jnp.concatenate([x, carry.u_prev], axis=0)
+    s_w = jnp.concatenate([carry.s[1:], carry.s[-1:]], axis=0)
+    lam_w = jnp.concatenate([carry.lam[1:], carry.lam[-1:]], axis=0)
+    uprev_part = jnp.concatenate([carry.u_prev[None], U_sched], axis=0)
+    Xa_w = jnp.concatenate([X_sched, uprev_part], axis=1)
+    return X_sched, U_sched, kappas, x_ref, lb, ub, x0a, (s_w, lam_w, Xa_w, U_sched)
+
+
 def _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol):
     """Fallback logic + carry update shared by single and batched steps."""
     nx = model_nx(cfg.model)
@@ -177,6 +208,20 @@ def mpc_step_batched(
     TPU); otherwise by vmapped ``admm_solve``. Assembly and carry updates
     are always vmapped XLA (they are cheap).
     """
+    if scfg.backend == "fused":
+        from ..ops.fused_kernel import fused_mpc_solve
+
+        (Xs_b, Us_b, kap_b, xr_b, lb_b, ub_b, x0a_b, warm_b) = jax.vmap(
+            lambda pp, x, c: mpc_prepare_light(pp, cfg, track, x, x_ref, c)
+        )(p_b, x_b, carry_b)
+        sol_b = fused_mpc_solve(
+            cfg, scfg, p_b, Xs_b, Us_b, kap_b, xr_b, lb_b, ub_b, x0a_b,
+            warm_b[0], warm_b[1], carry_b.rho,
+        )
+        return jax.vmap(
+            lambda pp, x, w, us, s: _post_solve(pp, cfg, scfg, track, x, w, us, s)
+        )(p_b, x_b, warm_b, warm_b[3], sol_b)
+
     qp_b, warm_b, U_sched_b = jax.vmap(
         lambda pp, x, c: mpc_prepare(pp, cfg, track, x, x_ref, c)
     )(p_b, x_b, carry_b)

@@ -1,0 +1,470 @@
+"""Fully-fused MPC step kernel: LPV linearization + Van Loan discretization
++ augmentation + cost folding + Riccati factorization + ADMM iterations,
+all in one VMEM-resident Pallas kernel.
+
+BASELINE.json: "horizon rollout and cost/constraint assembly ... are fused
+Pallas kernels, and the condensed QP is solved by a batched ADMM/Riccati
+solver". Motivation measured in PERF.md: the XLA assembly path spends
+~19 ms/step in the batched 8x8 Van Loan matmuls (padded onto 128x128 MXU
+tiles at highest precision) plus layout transposes at the solver-kernel
+boundary. Here every stage matrix is BUILT batch-last in VMEM scratch by
+(8,128) VPU ops and consumed in place — the only HBM traffic is the small
+scheduling/reference inputs and the solution outputs.
+
+Dynamic-bicycle model only (the flagship, BASELINE config 2/4); linear or
+Pacejka-linearized tires; LPV mode (c = 0). Host-side XLA keeps the cheap
+parts: schedule shifting, curvature/reference gathers, bounds assembly.
+Verified against the unfused path in tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import MPCConfig, SolverConfig, VehicleParams
+from ..solver.admm import ADMMSolution, ADMMState, _new_rho
+from .admm_kernel import (
+    PALLAS_BLOCK,
+    _dual_norm,
+    _inv2,
+    _mm,
+    _mtm,
+    _mtv,
+    _mv,
+    _stack_g,
+)
+
+NX, NU, NA, NC = 6, 2, 8, 6
+_VX_EPS = 0.05
+_DENOM_EPS = 0.1
+_PACEJKA_C = 1.3
+
+
+def _sinc(x):
+    return jnp.sinc(x / jnp.pi)
+
+
+def _fused_kernel(
+    # inputs (VMEM refs, batch-last)
+    xs_ref,      # (N, NX, B) scheduling states
+    us_ref,      # (N, NU, B) scheduling inputs
+    kap_ref,     # (N, B) curvature at scheduled s
+    xref_ref,    # (N+1, NX, B) tracking reference
+    prm_ref,     # (10, B) vehicle params: m Iz lf lr Cf Cr mu g cd0 cd1
+    lb_ref, ub_ref,   # (N+1, NC, B)
+    x0a_ref,     # (NA, B) augmented initial state
+    s0_ref, lam0_ref,  # (N+1, NC, B)
+    rho_ref,     # (1, B)
+    # constant inputs (pallas requires captured constants as operands)
+    Dx_ref,      # (NC, NA)
+    Du_ref,      # (NC, NU)
+    soft_ref,    # (NC, 1)
+    Qc_ref,      # (NA, NA)  Q_base + sigma*I
+    Qtc_ref,     # (NA, NA)  terminal
+    Rc_ref,      # (NU, NU)
+    Mc_ref,      # (NA, NU)
+    DxDx_ref,    # (NA, NA)
+    DuDu_ref,    # (NU, NU)
+    DxDu_ref,    # (NA, NU)
+    qw_ref,      # (NX, 1) tracking weight diagonal
+    I8_ref,      # (NA, NA)
+    I2_ref,      # (NU, NU)
+    Sel_ref,     # (NA, NU) column selector for the Van Loan B block
+    # outputs
+    X_out, U_out, s_out, lam_out, stats_out,
+    # scratch
+    A_s,         # (N, NA, NA, B)
+    B_s,         # (N, NA, NU, B)
+    q0_s,        # (N+1, NA, B)
+    K_s, Hiv_s, Hux_s,  # factor scratch
+    d_s,
+    v_s,         # (N+1, NC, B)
+    sprev_s,     # (N+1, NC, B)
+    G_s,         # (N+1, NC, B)
+    *, N: int, dt: float, max_iter: int, sigma: float, alpha: float,
+    tire: str, squarings: int = 4, order: int = 6,
+):
+    m_ = prm_ref[0]
+    Iz = prm_ref[1]
+    lf = prm_ref[2]
+    lr = prm_ref[3]
+    Cf0 = prm_ref[4]
+    Cr0 = prm_ref[5]
+    mu = prm_ref[6]
+    g_ = prm_ref[7]
+    cd0 = prm_ref[8]
+    cd1 = prm_ref[9]
+    rho = rho_ref[0]
+    B = rho.shape[-1]
+    f32 = jnp.float32
+
+    Dx = Dx_ref[...]
+    Du = Du_ref[...]
+    soft = soft_ref[...]
+
+    # ---- folded quadratic cost (stage-constant; only rho is per-lane) ----
+    c1 = lambda a: a[:, :, None]
+    Qf = c1(Qc_ref[...]) + c1(DxDx_ref[...]) * rho       # (NA,NA,B)
+    Qf_term = c1(Qtc_ref[...]) + c1(DxDx_ref[...]) * rho
+    Rf = c1(Rc_ref[...]) + c1(DuDu_ref[...]) * rho       # (NU,NU,B)
+    Mf = c1(Mc_ref[...]) + c1(DxDu_ref[...]) * rho       # (NA,NU,B)
+
+    # ---- per-stage: LPV + Van Loan + augmentation + linear cost ----
+    qw_arr = qw_ref[...]                                 # (NX,1)
+    I8v = I8_ref[...][:, :, None]
+
+    def build_stage(k, _):
+        x = xs_ref[k]            # (NX, B)
+        u = us_ref[k]            # (NU, B)
+        kap = kap_ref[k]         # (B,)
+        vx, vy, wz, epsi, ey = x[0], x[1], x[2], x[3], x[5]
+        delta = u[0]
+        vxs = jnp.maximum(vx, _VX_EPS)
+
+        if tire == "pacejka":
+            fzf = mu * m_ * g_ * lr / (lf + lr)
+            fzr = mu * m_ * g_ * lf / (lf + lr)
+            af = delta - jnp.arctan2(vy + lf * wz, vxs)
+            ar = -jnp.arctan2(vy - lr * wz, vxs)
+            eps = 1e-4
+            af = jnp.where(jnp.abs(af) < eps, eps, af)
+            ar = jnp.where(jnp.abs(ar) < eps, eps, ar)
+            Bf_ = Cf0 / (_PACEJKA_C * jnp.maximum(fzf, 1e-6))
+            Br_ = Cr0 / (_PACEJKA_C * jnp.maximum(fzr, 1e-6))
+            Cf = fzf * jnp.sin(_PACEJKA_C * jnp.arctan(Bf_ * af)) / af
+            Cr = fzr * jnp.sin(_PACEJKA_C * jnp.arctan(Br_ * ar)) / ar
+        else:
+            Cf, Cr = Cf0, Cr0
+
+        sd, cd_ = jnp.sin(delta), jnp.cos(delta)
+        se, ce = jnp.sin(epsi), jnp.cos(epsi)
+        den = jnp.maximum(1.0 - kap * ey, _DENOM_EPS)
+        z = jnp.zeros_like(vx)
+
+        # continuous-time A6 rows (models/lpv.py formulas, batch-last)
+        a00 = -(cd1 + cd0 / vxs) / m_
+        a01 = Cf * sd / (m_ * vxs) + wz
+        a02 = Cf * lf * sd / (m_ * vxs)
+        a11 = -(Cf * cd_ + Cr) / (m_ * vxs)
+        a12 = (-Cf * lf * cd_ + Cr * lr) / (m_ * vxs) - vxs
+        a21 = (-lf * Cf * cd_ + lr * Cr) / (Iz * vxs)
+        a22 = -(lf**2 * Cf * cd_ + lr**2 * Cr) / (Iz * vxs)
+        a30 = -kap * ce / den
+        a31 = kap * se / den
+        a40 = ce / den
+        a41 = -se / den
+        a51 = ce
+        a53 = vxs * _sinc(epsi)
+        one = jnp.ones_like(vx)
+        A6 = jnp.stack([
+            jnp.stack([a00, a01, a02, z, z, z]),
+            jnp.stack([z, a11, a12, z, z, z]),
+            jnp.stack([z, a21, a22, z, z, z]),
+            jnp.stack([a30, a31, one, z, z, z]),
+            jnp.stack([a40, a41, z, z, z, z]),
+            jnp.stack([z, a51, z, a53, z, z]),
+        ])                                           # (NX, NX, B)
+        b00 = -Cf * sd / m_
+        b10 = Cf * cd_ / m_
+        b20 = lf * Cf * cd_ / Iz
+        B6 = jnp.stack([
+            jnp.stack([b00, one]),
+            jnp.stack([b10, z]),
+            jnp.stack([b20, z]),
+            jnp.stack([z, z]),
+            jnp.stack([z, z]),
+            jnp.stack([z, z]),
+        ])                                           # (NX, NU, B)
+
+        # Van Loan block (NA, NA, B): [[A6, B6], [0, 0]]
+        top = jnp.concatenate([A6, B6], axis=1)      # (NX, NA, B)
+        Mv = jnp.concatenate(
+            [top, jnp.zeros((NU, NA, B), f32)], axis=0
+        ) * (dt / (2.0 ** squarings))
+        E = I8v + Mv / order
+        for j in range(order - 1, 0, -1):
+            E = I8v + _mm(Mv, E) / j
+        for _ in range(squarings):
+            E = _mm(E, E)
+        Ad6 = E[:NX, :NX]                            # (NX, NX, B)
+        # NOTE: E[:NX, NX:NX+NU] (offset slice of a matmul-chain result)
+        # crashes the Mosaic->LLO lowering ("Check failed: d >> 32 == 0");
+        # extract the B block with a constant column-selector contraction.
+        Sel = Sel_ref[...]                           # (NA, NU)
+        Bd6 = (E[:, :, None, :] * Sel[None, :, :, None]).sum(axis=1)[:NX]
+
+        # augmented Aa = [[Ad6, 0], [0, 0]], Ba = [[Bd6], [I2]]
+        Aa = jnp.concatenate([
+            jnp.concatenate([Ad6, jnp.zeros((NX, NU, B), f32)], axis=1),
+            jnp.zeros((NU, NA, B), f32),
+        ], axis=0)
+        I2v = I2_ref[...][:, :, None] * jnp.ones((1, 1, B), f32)
+        Ba = jnp.concatenate([Bd6, I2v], axis=0)
+        A_s[k] = Aa
+        B_s[k] = Ba
+
+        # linear tracking cost q0 = [-(q_w * xref); 0]
+        q0_s[k] = jnp.concatenate(
+            [-(qw_arr * xref_ref[k]), jnp.zeros((NU, B), f32)], axis=0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, N, build_stage, 0)
+    q0_s[N] = jnp.concatenate(
+        [-(qw_arr * xref_ref[N]), jnp.zeros((NU, B), f32)], axis=0
+    )
+
+    # ---- Riccati factorization (fori, V as carry; c = 0 in LPV mode) ----
+    def factor_step(i, V):
+        k = N - 1 - i
+        Ak = A_s[k]
+        Bk = B_s[k]
+        VB = _mm(V, Bk)
+        Huu = Rf + _mtm(Bk, VB)
+        VA = _mm(V, Ak)
+        Hux = jnp.swapaxes(Mf, 0, 1) + _mtm(Bk, VA)
+        Hiv = _inv2(Huu)
+        K = -_mm(Hiv, Hux)
+        K_s[k] = K
+        Hiv_s[k] = Hiv
+        Hux_s[k] = Hux
+        Vn = Qf + _mtm(Ak, VA) + _mtm(Hux, K)
+        return 0.5 * (Vn + jnp.swapaxes(Vn, 0, 1))
+
+    jax.lax.fori_loop(0, N, factor_step, Qf_term)
+
+    # ---- ADMM iterations (all state in refs; loops not unrolled) ----
+    def ctv(D, y):
+        """const (c,i)^T @ (c,B) -> (i,B)"""
+        return (D[:, :, None] * y[:, None, :]).sum(axis=0)
+
+    s_out[...] = jnp.clip(s0_ref[...], lb_ref[...], ub_ref[...])
+    lam_out[...] = lam0_ref[...]
+    X_out[...] = jnp.zeros(X_out.shape, f32)
+    U_out[...] = jnp.zeros(U_out.shape, f32)
+    beta = jnp.minimum(soft, 1e30)[None, :, :]
+    hard = jnp.isinf(soft)[None, :, :]
+
+    def iteration(_it, __):
+        s = s_out[...]
+        lam = lam_out[...]
+        v_s[...] = s - lam / rho
+
+        # backward affine sweep (X_out/U_out still hold the previous iterate)
+        def bwd(i, vvec):
+            k = N - 1 - i
+            q_k = q0_s[k] - rho * ctv(Dx, v_s[k]) - sigma * X_out[k]
+            r_k = -rho * ctv(Du, v_s[k]) - sigma * U_out[k]
+            h_u = r_k + _mtv(B_s[k], vvec)
+            d = -_mv(Hiv_s[k], h_u)
+            d_s[k] = d
+            return q_k + _mtv(A_s[k], vvec) + _mtv(Hux_s[k], d)
+
+        vN = q0_s[N] - rho * ctv(Dx, v_s[N]) - sigma * X_out[N]
+        jax.lax.fori_loop(0, N, bwd, vN)
+
+        # forward rollout
+        def fwd(k, x):
+            u = _mv(K_s[k], x) + d_s[k]
+            x_n = _mv(A_s[k], x) + _mv(B_s[k], u)
+            U_out[k] = u
+            X_out[k + 1] = x_n
+            return x_n
+
+        X_out[0] = x0a_ref[...]
+        jax.lax.fori_loop(0, N, fwd, x0a_ref[...])
+
+        G = _stack_g(Dx, Du, X_out[...], U_out[...])
+        G_s[...] = G
+        w_rel = alpha * G + (1.0 - alpha) * s
+        wl = w_rel + lam / rho
+        clipped = jnp.clip(wl, lb_ref[...], ub_ref[...])
+        soft_s = (beta * clipped + rho * wl) / (beta + rho)
+        s_new = jnp.where(hard, clipped, soft_s)
+        sprev_s[...] = s
+        s_out[...] = s_new
+        lam_out[...] = lam + rho * (w_rel - s_new)
+        return 0
+
+    jax.lax.fori_loop(0, max_iter, iteration, 0)
+
+    # ---- residual stats ----
+    G = G_s[...]
+    s_f = s_out[...]
+    lam_f = lam_out[...]
+    red = lambda t: jnp.max(jnp.abs(t), axis=(0, 1))
+    ds = s_f - sprev_s[...]
+    zero = jnp.zeros((B,), f32)
+    stats_out[0] = red(G - s_f)
+    stats_out[1] = rho * _dual_norm(Dx, Du, ds, N)
+    stats_out[2] = red(G)
+    stats_out[3] = red(s_f)
+    stats_out[4] = _dual_norm(Dx, Du, lam_f, N)
+    stats_out[5] = zero
+    stats_out[6] = zero
+    stats_out[7] = zero
+
+
+def fused_mpc_solve(
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    p_b: VehicleParams,        # leaves (B,)
+    X_sched: jnp.ndarray,      # (B, N+1, NX)
+    U_sched: jnp.ndarray,      # (B, N, NU)
+    kappas: jnp.ndarray,       # (B, N)
+    x_ref_b: jnp.ndarray,      # (B, N+1, NX)
+    lb: jnp.ndarray,           # (B, N+1, NC)
+    ub: jnp.ndarray,           # (B, N+1, NC)
+    x0a: jnp.ndarray,          # (B, NA)
+    s0: jnp.ndarray,           # (B, N+1, NC)
+    lam0: jnp.ndarray,         # (B, N+1, NC)
+    rho0: jnp.ndarray,         # (B,)
+    interpret: bool = False,
+) -> ADMMSolution:
+    """Host wrapper: transpose the small inputs batch-last, launch the fused
+    kernel, adapt rho once per solve on the way out."""
+    assert cfg.model == "dynamic" and cfg.linearization == "lpv"
+    B = x0a.shape[0]
+    N = cfg.N
+    f32 = jnp.float32
+    PB = PALLAS_BLOCK
+    Bp = -(-B // PB) * PB
+    pad = Bp - B
+
+    def prep(leaf):
+        if pad:
+            leaf = jnp.concatenate([leaf, jnp.repeat(leaf[:1], pad, axis=0)], 0)
+        return jnp.moveaxis(leaf, 0, -1)
+
+    prm = jnp.stack([
+        p_b.m, p_b.Iz, p_b.lf, p_b.lr, p_b.Cf, p_b.Cr, p_b.mu, p_b.g,
+        p_b.cd0, p_b.cd1,
+    ])  # (10, B) — leaves are (B,) or scalar; broadcast scalars
+    prm = jnp.broadcast_to(prm.reshape(10, -1), (10, B)).astype(f32)
+    if pad:
+        prm = jnp.concatenate([prm, jnp.repeat(prm[:, :1], pad, axis=1)], 1)
+
+    # ---- static constant operands ----
+    w = cfg.weights
+    sigma = float(scfg.sigma)
+    Dx_np = np.zeros((NC, NA), np.float32)
+    Du_np = np.zeros((NC, NU), np.float32)
+    Dx_np[0, 0] = 1.0
+    Dx_np[1, 5] = 1.0
+    Du_np[2, 0] = 1.0
+    Du_np[3, 1] = 1.0
+    Dx_np[4, 6] = -1.0
+    Du_np[4, 0] = 1.0
+    Dx_np[5, 7] = -1.0
+    Du_np[5, 1] = 1.0
+    soft_np = np.full((NC, 1), np.inf, np.float32)
+    soft_np[1, 0] = float(cfg.bounds.ey_soft)
+    q_w = np.asarray(w.q, np.float32)
+    r_w = np.asarray(w.r, np.float32)
+    dr_w = np.asarray(w.dr, np.float32)
+    qdiag = np.concatenate([q_w, dr_w])
+    Qc = np.diag(qdiag) + sigma * np.eye(NA, dtype=np.float32)
+    Qtc = np.diag(np.concatenate([q_w, np.zeros(NU, np.float32)])) \
+        + sigma * np.eye(NA, dtype=np.float32)
+    Rc = np.diag(r_w + dr_w) + sigma * np.eye(NU, dtype=np.float32)
+    Mc = np.zeros((NA, NU), np.float32)
+    Mc[NX:, :] = -np.diag(dr_w)
+    Sel = np.zeros((NA, NU), np.float32)
+    Sel[NX, 0] = 1.0
+    Sel[NX + 1, 1] = 1.0
+    consts = tuple(jnp.asarray(a) for a in (
+        Dx_np, Du_np, soft_np, Qc, Qtc, Rc, Mc,
+        Dx_np.T @ Dx_np, Du_np.T @ Du_np, Dx_np.T @ Du_np,
+        q_w[:, None], np.eye(NA, dtype=np.float32),
+        np.eye(NU, dtype=np.float32), Sel,
+    ))
+
+    ins = (
+        prep(X_sched[:, :N, :]),     # (N, NX, Bp)
+        prep(U_sched),               # (N, NU, Bp)
+        prep(kappas),                # (N, Bp)
+        prep(x_ref_b),               # (N+1, NX, Bp)
+        prm,                         # (10, Bp)
+        prep(lb), prep(ub),
+        prep(x0a),
+        prep(jnp.clip(s0, lb, ub)), prep(lam0),
+        prep(rho0)[None, :],
+    ) + consts
+
+    kernel = functools.partial(
+        _fused_kernel,
+        N=N, dt=float(cfg.dt), max_iter=scfg.max_iter,
+        sigma=sigma, alpha=float(scfg.alpha), tire=cfg.tire,
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((N + 1, NA, Bp), f32),
+        jax.ShapeDtypeStruct((N, NU, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),
+        jax.ShapeDtypeStruct((8, Bp), f32),
+    )
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape[:-1] + (PB,),
+            lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    n_batched = len(ins) - len(consts)
+    in_specs = [bspec(a.shape) for a in ins[:n_batched]] + [
+        cspec(a.shape) for a in consts
+    ]
+    out_specs = tuple(bspec(s.shape) for s in out_shapes)
+    scratch = [
+        pltpu.VMEM((N, NA, NA, PB), f32),    # A_s
+        pltpu.VMEM((N, NA, NU, PB), f32),    # B_s
+        pltpu.VMEM((N + 1, NA, PB), f32),    # q0_s
+        pltpu.VMEM((N, NU, NA, PB), f32),    # K
+        pltpu.VMEM((N, NU, NU, PB), f32),    # Hiv
+        pltpu.VMEM((N, NU, NA, PB), f32),    # Hux
+        pltpu.VMEM((N, NU, PB), f32),        # d
+        pltpu.VMEM((N + 1, NC, PB), f32),    # v
+        pltpu.VMEM((N + 1, NC, PB), f32),    # s_prev
+        pltpu.VMEM((N + 1, NC, PB), f32),    # G
+    ]
+
+    X, U, s, lam, stats = pl.pallas_call(
+        kernel,
+        grid=(Bp // PB,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*ins)
+
+    unprep = lambda a: jnp.moveaxis(a, -1, 0)[:B]
+    X, U, s, lam = map(unprep, (X, U, s, lam))
+    stats = jnp.moveaxis(stats, -1, 0)[:B]
+
+    r_prim, r_dual = stats[:, 0], stats[:, 1]
+    eps_prim = scfg.eps_abs + scfg.eps_rel * jnp.maximum(stats[:, 2], stats[:, 3])
+    eps_dual = scfg.eps_abs + scfg.eps_rel * stats[:, 4]
+    converged = jnp.logical_and(r_prim <= eps_prim, r_dual <= eps_dual)
+    st = ADMMState(X, U, s, lam, r_prim, r_dual, eps_prim, eps_dual)
+    rho_new = jax.vmap(_new_rho)(rho0, st)
+    return ADMMSolution(
+        X=X, U=U, s=s, lam=lam, r_prim=r_prim, r_dual=r_dual,
+        converged=converged,
+        iters=jnp.full((B,), scfg.max_iter, jnp.int32),
+        rho=rho_new,
+    )

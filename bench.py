@@ -49,48 +49,64 @@ def main():
     from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+    backend = sys.argv[2] if len(sys.argv) > 2 else "fused"
     K = 10  # steps per timed dispatch
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
-    # rho_interval=0 + carried rho => exactly one Riccati factorization per
-    # solve; 20 warm-started iterations hold >99% convergence in closed loop.
-    # backend="pallas": the fused VMEM kernel (ops/admm_kernel.py).
-    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
     track = racetrack()
     x_ref = constant_refs(cfg, 1.8)
 
     n_mu = max(1, B // 64)
     scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=n_mu, vx0=1.5)
     B = scen.batch
-    log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
-        f"backend={backend}")
 
-    @jax.jit
-    def k_steps(xs, carries):
-        def body(c, _):
-            xs_i, car_i = c
-            u_b, car2, diag = mpc_step_batched(
-                scen.params, cfg, scfg, track, xs_i, x_ref, car_i
-            )
-            xs2 = jax.vmap(
-                lambda pp, x, u: plant_step(pp, cfg, track, x, u, n_sub=4)
-            )(scen.params, xs_i, u_b)
-            return (xs2, car2), jnp.mean(diag.converged.astype(jnp.float32))
+    def make_k_steps(scfg):
+        @jax.jit
+        def k_steps(xs, carries):
+            def body(c, _):
+                xs_i, car_i = c
+                u_b, car2, diag = mpc_step_batched(
+                    scen.params, cfg, scfg, track, xs_i, x_ref, car_i
+                )
+                xs2 = jax.vmap(
+                    lambda pp, x, u: plant_step(pp, cfg, track, x, u, n_sub=4)
+                )(scen.params, xs_i, u_b)
+                return (xs2, car2), jnp.mean(diag.converged.astype(jnp.float32))
 
-        (xs, carries), convs = jax.lax.scan(body, (xs, carries), None, length=K)
-        return xs, carries, convs
+            (xs, carries), convs = jax.lax.scan(body, (xs, carries), None, length=K)
+            return xs, carries, convs
+
+        return k_steps
 
     carries = jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
         scen.x0, scen.params
     )
     xs = scen.x0
 
+    # rho_interval=0 + carried rho => exactly one Riccati factorization per
+    # solve; 20 warm-started iterations hold >99% convergence in closed loop.
+    # backend="fused": the fully-fused assembly+solver VMEM kernel
+    # (ops/fused_kernel.py); "pallas": solver-only kernel; "xla": scans.
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
+    log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
+        f"backend={backend}")
+
     # warmup: compile + reach warm-started steady state
     t0 = time.perf_counter()
-    xs, carries, convs = k_steps(xs, carries)
-    jax.block_until_ready(xs)
+    k_steps = make_k_steps(scfg)
+    try:
+        xs, carries, convs = k_steps(xs, carries)
+        jax.block_until_ready(xs)
+    except Exception as e:  # e.g. fused kernel fails to compile on this stack
+        if backend == "fused":
+            log(f"fused backend failed ({type(e).__name__}); falling back to pallas")
+            scfg = scfg.replace(backend="pallas")
+            k_steps = make_k_steps(scfg)
+            xs, carries, convs = k_steps(xs, carries)
+            jax.block_until_ready(xs)
+        else:
+            raise
     log(f"compile+first {K} steps: {time.perf_counter()-t0:.1f}s "
         f"converged={float(convs.mean()):.3f}")
 

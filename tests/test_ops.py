@@ -59,6 +59,40 @@ def test_pallas_warm_start_and_rho0():
     )
 
 
+def test_fused_step_kernel_matches_xla():
+    """ops/fused_kernel.py: in-kernel LPV + Van Loan + assembly + solve
+    agrees with the XLA prepare+solve path (both tires)."""
+    import autonomous_racing_lpv_mpp_mpc_tpu.ops.fused_kernel as fk
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPCConfig, VehicleParams
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import constant_refs, mpc_init
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.mpc import mpc_step_batched
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel import make_scenario_grid
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+    orig = fk.fused_mpc_solve
+    fk.fused_mpc_solve = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        p = VehicleParams()
+        track = racetrack()
+        for tire in ("linear", "pacejka"):
+            cfg = MPCConfig(N=10, model="dynamic", tire=tire)
+            x_ref = constant_refs(cfg, 1.8)
+            scen = make_scenario_grid(p, cfg, n_ey=4, n_mu=2, vx0=1.4)
+            carries = jax.vmap(
+                lambda x0, pp: mpc_init(pp, cfg, track, x0)
+            )(scen.x0, scen.params)
+            sf = SolverConfig(max_iter=30, rho_interval=0, backend="fused")
+            sx = SolverConfig(max_iter=30, rho_interval=0, backend="xla")
+            uf, _, df = mpc_step_batched(scen.params, cfg, sf, track, scen.x0, x_ref, carries)
+            ux, _, _ = mpc_step_batched(scen.params, cfg, sx, track, scen.x0, x_ref, carries)
+            np.testing.assert_allclose(
+                np.asarray(uf), np.asarray(ux), atol=1e-4
+            )
+            assert float(df.converged.mean()) > 0.99
+    finally:
+        fk.fused_mpc_solve = orig
+
+
 def test_pallas_padding_path():
     # B=3 pads to PALLAS_BLOCK; results must be unaffected
     qp_b = _batched_qp(range(3))
