@@ -97,7 +97,7 @@ def test_config3_planner_tracker_pipeline(racetrack_plan):
 
 def test_mpp_obstacle_shifts_corridor():
     track = oval_track()
-    pcfg = MPPConfig(H=384)
+    pcfg = MPPConfig(H=256, n_sqp=3)
     # obstacle blocking the inner half of the corridor on the first straight
     obstacles = jnp.asarray([[0.5, 1.5, -0.4, 0.05]], jnp.float32)
     table_free, _ = plan_mpp(P, pcfg, track)
