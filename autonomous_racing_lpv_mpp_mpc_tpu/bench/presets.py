@@ -162,12 +162,50 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
     }
 
 
+def latency(p: VehicleParams, scfg: SolverConfig, batch: int = 128,
+            reps: int = 20, **kw) -> Dict:
+    """Per-step solve latency (p50/p99) — the second headline metric.
+
+    One batched receding-horizon step per dispatch (batch = one kernel
+    block by default); on tunneled setups host dispatch dominates, so the
+    amortized on-device figure from config4 is also reported.
+    """
+    from ..loop import mpc_step_batched
+
+    cfg = MPCConfig(N=20, model="dynamic")
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.8)
+    scen = make_scenario_grid(p, cfg, n_ey=min(64, batch),
+                              n_mu=max(1, batch // 64), vx0=1.5)
+    carries = jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
+        scen.x0, scen.params)
+
+    step = jax.jit(lambda xs, cs: mpc_step_batched(
+        scen.params, cfg, scfg, track, xs, x_ref, cs))
+    u, carries, d = jax.block_until_ready(step(scen.x0, carries))  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        u, carries, d = step(scen.x0, carries)
+        jax.block_until_ready(u)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times = np.sort(np.asarray(times))
+    return {
+        "batch": scen.batch,
+        "p50_ms": round(float(np.percentile(times, 50)), 3),
+        "p99_ms": round(float(np.percentile(times, 99)), 3),
+        "budget_ms": round(1000.0 * cfg.dt, 1),
+        "converged_frac": round(float(d.converged.mean()), 3),
+    }
+
+
 PRESETS: Dict[str, Callable] = {
     "config1": config1,
     "config2": config2,
     "config3": config3,
     "config4": config4,
     "config5": config5,
+    "latency": latency,
 }
 
 

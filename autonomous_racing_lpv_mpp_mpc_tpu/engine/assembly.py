@@ -20,7 +20,7 @@ Delta-delta box, Delta-a box (SURVEY.md §2 "Tracking MPC").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from ..core.config import MPCConfig, SolverConfig, VehicleParams
 from ..models.dynamics import VX_EPS
 from ..models.tires import axle_loads, tire_force
 from ..track.track import Track, frenet_to_global, global_to_frenet
-from .mpc import MPCCarry, mpc_init, mpc_step
+from .mpc import mpc_init, mpc_step
 
 
 class GlobalLog(NamedTuple):
@@ -99,7 +99,7 @@ def closed_loop_global(
     SURVEY.md §3.1 with a real observer in the chain.
     """
     assert cfg.model == "dynamic", "global-frame loop uses the dynamic model"
-    from .estimator import EKFState, ekf_init, ekf_step
+    from .estimator import ekf_init, ekf_step
 
     Xw, Yw, psiw = frenet_to_global(track, x0_frenet[4], x0_frenet[5], x0_frenet[3])
     xg0 = jnp.stack([x0_frenet[0], x0_frenet[1], x0_frenet[2], Xw, Yw, psiw])

@@ -14,8 +14,6 @@ in solver/riccati.py; this module is the *cross-chip* layer on top.)
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

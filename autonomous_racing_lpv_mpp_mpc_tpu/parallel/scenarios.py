@@ -11,7 +11,6 @@ structural, which is what the batched-equivalence test relies on.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -51,15 +51,26 @@ class MPPDiag(NamedTuple):
     progress: jnp.ndarray    # scalar total s covered by the plan
 
 
-def _initial_trajectory(p, pcfg: MPPConfig, track: Track, v_prof, s0=0.0):
-    """Roll the velocity profile along the centerline -> (X, U) guess."""
+def _initial_trajectory(p, pcfg: MPPConfig, track: Track, v_prof, s0=0.0,
+                        v0=None):
+    """Roll the velocity profile along the centerline -> (X, U) guess.
+
+    With ``v0`` (online replanning) the guess speed is additionally
+    accel-limited from the car's current speed.
+    """
     nx = model_nx(pcfg.model)
     L = p.lf + p.lr
     n = track.kappa.shape[0]
+    s0 = jnp.asarray(s0, jnp.float32)
 
     def v_at(s):
         sm = wrap_s(track, s)
-        return v_prof[jnp.clip((sm / track.ds).astype(jnp.int32), 0, n - 1)]
+        v = v_prof[jnp.clip((sm / track.ds).astype(jnp.int32), 0, n - 1)]
+        if v0 is not None:
+            reach = jnp.sqrt(jnp.maximum(v0, 0.2) ** 2
+                             + 2.0 * pcfg.bounds.a_max * jnp.maximum(s - s0, 0.0))
+            v = jnp.minimum(v, reach)
+        return v
 
     def step(s, _):
         v = v_at(s)
@@ -159,6 +170,50 @@ def _build_planner_qp(p, pcfg: MPPConfig, track, X_bar, U_bar, u_prev, obstacles
     )
 
 
+def _build_table(p, pcfg: MPPConfig, track: Track, s_traj, vx_tr, ey_tr,
+                 delta_tr_u, v_prof) -> RefTable:
+    """Sample the optimized trajectory onto a uniform s grid.
+
+    Full-lap plans (progress >= track length) use the LAST lap (drops the
+    start-up transient). Partial plans (online replanning, SURVEY §3.3's
+    obstacle-aware receding planner) fill only the covered span; uncovered
+    cells fall back to the friction-limited velocity profile on the
+    centerline with geometric feed-forward steering.
+    """
+    length = float(track.length)
+    n_ref = max(8, int(round(length / pcfg.ds_ref)))
+    s_grid = jnp.arange(n_ref, dtype=jnp.float32) * (length / n_ref)
+    delta_tr = jnp.concatenate([delta_tr_u, delta_tr_u[-1:]])
+
+    s0, s_end = s_traj[0], s_traj[-1]
+    progress = s_end - s0
+    L32 = jnp.asarray(length, jnp.float32)
+
+    # query points: last covered window ending at s_end, length min(progress, L)
+    span = jnp.minimum(progress, L32)
+    base = s_end - span
+    qs = base + ((s_grid - base) % L32)
+    covered = qs <= s_end  # (within [base, s_end])
+    vx_tab = jnp.interp(qs, s_traj, vx_tr)
+    ey_tab = jnp.interp(qs, s_traj, ey_tr)
+    dl_tab = jnp.interp(qs, s_traj, delta_tr)
+
+    # fallback for uncovered cells: centerline + velocity profile
+    n_cells = track.kappa.shape[0]
+    idx = jnp.clip((s_grid / track.ds).astype(jnp.int32), 0, n_cells - 1)
+    vx_fb = v_prof[idx]
+    dl_fb = jnp.arctan(track.kappa[idx] * (p.lf + p.lr))
+    vx_tab = jnp.where(covered, vx_tab, vx_fb)
+    ey_tab = jnp.where(covered, ey_tab, 0.0)
+    dl_tab = jnp.where(covered, dl_tab, dl_fb)
+
+    return RefTable(
+        ds=jnp.asarray(length / n_ref, jnp.float32),
+        length=L32,
+        vx=vx_tab, ey=ey_tab, delta=dl_tab,
+    )
+
+
 def plan_mpp(
     p: VehicleParams,
     pcfg: MPPConfig,
@@ -166,8 +221,15 @@ def plan_mpp(
     scfg: Optional[SolverConfig] = None,
     obstacles: Optional[jnp.ndarray] = None,   # (n_obs, 4): s0, s1, ey_lo, ey_hi
     s0: float = 0.0,
+    x0_state: Optional[jnp.ndarray] = None,    # current car state (online mode)
 ):
-    """Run the MPP. Returns (RefTable, MPPDiag)."""
+    """Run the MPP. Returns (RefTable, MPPDiag).
+
+    Offline (default): plans >=1 lap from the velocity profile and samples
+    the last lap. Online (``x0_state`` given): plans a receding horizon
+    from the car's actual state; the emitted table covers the planned span
+    and falls back to the profile elsewhere (_build_table).
+    """
     # long-horizon ADMM needs a bigger budget than the tracker (~400 its at
     # H=512 cold; warm-started SQP passes finish much earlier)
     scfg = scfg or SolverConfig(max_iter=400, riccati="assoc")
@@ -176,7 +238,13 @@ def plan_mpp(
     _, ey_i = state_indices(pcfg.model)
 
     v_prof = velocity_profile(p, track, pcfg.bounds, pcfg.a_lat_frac)
-    X_bar, U_bar = _initial_trajectory(p, pcfg, track, v_prof, s0)
+    v0 = None
+    if x0_state is not None:
+        s0 = x0_state[s_idx]
+        v0 = x0_state[0]
+    X_bar, U_bar = _initial_trajectory(p, pcfg, track, v_prof, s0, v0)
+    if x0_state is not None:
+        X_bar = X_bar.at[0].set(x0_state)
     u_prev = U_bar[0]
 
     solve = jax.jit(
@@ -198,24 +266,10 @@ def plan_mpp(
         iters.append(sol.iters)
 
     s_traj = X_bar[:, s_idx]
-    # sample the LAST full lap of the plan onto a uniform s grid
+    table = _build_table(p, pcfg, track, s_traj, X_bar[:, 0], X_bar[:, ey_i],
+                         U_bar[:, 0], v_prof)
     length = float(track.length)
-    n_ref = max(8, int(round(length / pcfg.ds_ref)))
-    s_grid = jnp.arange(n_ref, dtype=jnp.float32) * (length / n_ref)
-    s_end = s_traj[-1]
-    base = s_end - length
-    qs = base + ((s_grid - base) % length)
-    delta_tr = jnp.concatenate([U_bar[:, 0], U_bar[-1:, 0]])
-    vx_tab = jnp.interp(qs, s_traj, X_bar[:, 0])
-    ey_tab = jnp.interp(qs, s_traj, X_bar[:, ey_i])
-    dl_tab = jnp.interp(qs, s_traj, delta_tr)
-
     t_idx = jnp.interp(s_traj[0] + length, s_traj, jnp.arange(pcfg.H + 1, dtype=jnp.float32))
-    table = RefTable(
-        ds=jnp.asarray(length / n_ref, jnp.float32),
-        length=jnp.asarray(length, jnp.float32),
-        vx=vx_tab, ey=ey_tab, delta=dl_tab,
-    )
     diag = MPPDiag(
         converged=jnp.stack(convs),
         iters=jnp.stack(iters),

@@ -27,7 +27,7 @@ site, which XLA turns into batched small-matrix einsums.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

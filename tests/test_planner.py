@@ -95,6 +95,36 @@ def test_config3_planner_tracker_pipeline(racetrack_plan):
     assert lap_time < L / 2.0
 
 
+def test_online_replanning_avoids_appearing_obstacle():
+    """RAS-2020 behavior: the planner re-plans from the car's current state
+    at a slower rate; an obstacle that appears mid-run is avoided."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.planner import replanning_loop
+
+    track = oval_track()
+    cfg = MPCConfig(N=16, model="dynamic")
+    scfg = SolverConfig(max_iter=60, rho_interval=0)
+    pcfg = MPPConfig(H=192, n_sqp=2)
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+    def obstacles_fn(t):
+        if t >= 60:   # appears after 2 s, blocks the inside of the straight
+            return jnp.asarray([[4.0, 5.0, -0.4, 0.1]], jnp.float32)
+        return None
+
+    res = replanning_loop(P, cfg, scfg, pcfg, track, x0, T=240,
+                          replan_every=60, obstacles_fn=obstacles_fn)
+    X = np.asarray(res.log.X)
+    L = float(track.length)
+    assert X[-1, 4] > 1.5 * L                        # keeps lapping
+    assert np.asarray(res.log.converged).mean() > 0.9
+    s_mod = X[:, 4] % L
+    # core of the obstacle span (corridor ramps at the edges)
+    mask = (np.arange(X.shape[0]) > 80) & (s_mod > 4.3) & (s_mod < 4.7)
+    assert mask.any()
+    # passes on the free (upper) side of the obstacle
+    assert X[mask, 5].min() > 0.1
+
+
 def test_mpp_obstacle_shifts_corridor():
     track = oval_track()
     pcfg = MPPConfig(H=256, n_sqp=3)
