@@ -232,6 +232,11 @@ def build_boxqp(
     b = cfg.bounds
     Dx, Du = constraint_rows(cfg.model, f32)
     lb, ub = tracker_bounds(p, cfg, track, X_sched)
+    # clamp the vx reference to the per-stage friction cap: a reference
+    # pinned above a binding hard bound makes ADMM grind (active-set
+    # tug-of-war); clamping restores ~10-iteration convergence on low mu
+    x_ref = x_ref.at[:, 0].set(jnp.minimum(x_ref[:, 0], ub[:, 0]))
+    qlin = qlin.at[:, :nx].set(-(x_ref * Qd[None, :]))
 
     # soft e_y corridor (row 1); everything else hard
     soft = jnp.full((N_CON,), jnp.inf, f32).at[1].set(b.ey_soft)

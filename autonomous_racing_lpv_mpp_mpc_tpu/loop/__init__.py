@@ -7,7 +7,7 @@ from .mpc import (
     mpc_step,
     mpc_step_batched,
 )
-from .closed_loop import closed_loop, plant_step
+from .closed_loop import ClosedLoopLog, ClosedLoopLogPred, closed_loop, plant_step
 from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
 from .global_loop import GlobalLog, closed_loop_global, f_global, global_plant_step
 
@@ -19,6 +19,8 @@ __all__ = [
     "mpc_step",
     "mpc_step_batched",
     "constant_refs",
+    "ClosedLoopLog",
+    "ClosedLoopLogPred",
     "closed_loop",
     "plant_step",
     "EKFState",

@@ -33,6 +33,19 @@ class ClosedLoopLog(NamedTuple):
     r_dual: jnp.ndarray     # (T,)
 
 
+class ClosedLoopLogPred(NamedTuple):
+    """ClosedLoopLog + the MPC's predicted trajectories (reference parity:
+    'predicted vs closed-loop traces' plots, SURVEY.md §2 Plot/logging)."""
+
+    X: jnp.ndarray
+    U: jnp.ndarray
+    converged: jnp.ndarray
+    iters: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+    X_pred: jnp.ndarray     # (T, N+1, nx) prediction made at each step
+
+
 def plant_step(
     p: VehicleParams,
     cfg: MPCConfig,
@@ -68,8 +81,13 @@ def closed_loop(
     n_sub: int = 10,
     sim_tire: Optional[str] = None,
     carry0: Optional[MPCCarry] = None,
+    log_predictions: bool = False,
 ) -> ClosedLoopLog:
-    """Run T control steps of the full closed loop; returns stacked logs."""
+    """Run T control steps of the full closed loop; returns stacked logs.
+
+    ``log_predictions=True`` additionally records each step's predicted
+    trajectory (ClosedLoopLogPred) for predicted-vs-actual analysis/plots.
+    """
     carry_init = carry0 if carry0 is not None else mpc_init(p, cfg, track, x0)
 
     def step(carry, _):
@@ -77,7 +95,11 @@ def closed_loop(
         u, mpc_carry, diag = mpc_step(p, cfg, scfg, track, x, x_ref, mpc_carry)
         x_next = plant_step(p, cfg, track, x, u, n_sub=n_sub, sim_tire=sim_tire)
         out = (x_next, u, diag.converged, diag.iters, diag.r_prim, diag.r_dual)
+        if log_predictions:
+            out = out + (mpc_carry.X_pred,)
         return (x_next, mpc_carry), out
 
     (_, _), outs = jax.lax.scan(step, (x0, carry_init), None, length=T)
+    if log_predictions:
+        return ClosedLoopLogPred(*outs)
     return ClosedLoopLog(*outs)

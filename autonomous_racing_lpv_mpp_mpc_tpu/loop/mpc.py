@@ -130,6 +130,8 @@ def mpc_prepare_light(
     if isinstance(x_ref, RefTable):
         x_ref = refs_from_table(cfg, x_ref, X_sched[:, s_idx])
     lb, ub = tracker_bounds(p, cfg, track, X_sched)
+    # clamp vx_ref to the per-stage friction cap (see engine/assembly.py)
+    x_ref = x_ref.at[:, 0].set(jnp.minimum(x_ref[:, 0], ub[:, 0]))
     x0a = jnp.concatenate([x, carry.u_prev], axis=0)
     s_w = jnp.concatenate([carry.s[1:], carry.s[-1:]], axis=0)
     lam_w = jnp.concatenate([carry.lam[1:], carry.lam[-1:]], axis=0)

@@ -83,6 +83,39 @@ def plot_run(cfg: MPCConfig, track: Track, log: ClosedLoopLog,
     return fig
 
 
+def plot_predictions(cfg: MPCConfig, track: Track, log,
+                     steps=None, path: Optional[str] = None):
+    """Predicted vs closed-loop traces (reference parity plot).
+
+    ``log`` must come from ``closed_loop(..., log_predictions=True)``.
+    Overlays the N-step predictions made at selected steps on the actual
+    closed-loop vx and e_y histories.
+    """
+    X = np.asarray(log.X)
+    P_ = np.asarray(log.X_pred)                    # (T, N+1, nx)
+    T, N1, _ = P_.shape
+    ey_i = 5 if cfg.model == "dynamic" else 3
+    if steps is None:
+        steps = list(range(0, T - 1, max(1, T // 8)))
+    t = np.arange(T) * cfg.dt
+
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    ax1.plot(t, X[:, 0], "k-", lw=1.5, label="closed loop vx")
+    ax2.plot(t, X[:, ey_i], "k-", lw=1.5, label="closed loop e_y")
+    for s0 in steps:
+        tp = (s0 + np.arange(N1)) * cfg.dt
+        ax1.plot(tp, P_[s0, :, 0], "--", lw=0.9, alpha=0.7)
+        ax2.plot(tp, P_[s0, :, ey_i], "--", lw=0.9, alpha=0.7)
+    ax1.set_ylabel("vx [m/s]"); ax1.legend(); ax1.grid(alpha=0.3)
+    ax2.set_ylabel("e_y [m]"); ax2.set_xlabel("t [s]")
+    ax2.legend(); ax2.grid(alpha=0.3)
+    fig.suptitle("MPC predictions (dashed) vs closed loop (solid)")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=110)
+    return fig
+
+
 def animate_run(cfg: MPCConfig, track: Track, log: ClosedLoopLog,
                 path: str, stride: int = 3, fps: int = 20):
     """Car-on-track animation (reference's signature output). Saves a GIF."""

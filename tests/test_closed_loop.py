@@ -95,6 +95,39 @@ def test_acceptance_control_sequence_matches_oracle():
     assert max_du < 2e-3, f"max |u_jax - u_oracle| = {max_du}"
 
 
+def test_low_friction_envelope():
+    """mu=0.5 with vx_ref above the friction cap: the vx-reference clamp
+    keeps ADMM converging and the car inside the corridor (was conv=0.24
+    before the clamp)."""
+    cfg = MPCConfig(N=20, model="dynamic", tire="pacejka")
+    scfg = SolverConfig(max_iter=40, rho_interval=0)
+    track = racetrack()
+    p_low = VehicleParams(mu=0.5)
+    x0 = jnp.array([0.8, 0.0, 0.0, 0.0, 0.0, 0.0])
+    log = closed_loop(p_low, cfg, scfg, track, x0,
+                      constant_refs(cfg, 2.2), T=400, sim_tire="pacejka")
+    X = np.asarray(log.X)
+    assert X[-1, 4] > 0.8 * float(track.length)
+    assert np.abs(X[:, 5]).max() < 0.15
+    assert np.asarray(log.converged).mean() > 0.7
+
+
+def test_prediction_logging():
+    """log_predictions: per-step predicted trajectories recorded; 1-step
+    prediction matches the plant within LPV-model-mismatch tolerance."""
+    cfg = MPCConfig(N=10, model="dynamic")
+    track = oval_track()
+    log = closed_loop(P, cfg, SCFG, track,
+                      jnp.array([1.0, 0, 0, 0, 0, 0.05]),
+                      constant_refs(cfg, 1.5), T=80, log_predictions=True)
+    assert log.X_pred.shape == (80, 11, 6)
+    # X_pred[t] is the prediction made FROM the pre-step state, so its row 1
+    # predicts log.X[t] (the plant state after step t)
+    pred1 = np.asarray(log.X_pred)[20:, 1, :]
+    actual = np.asarray(log.X)[20:, :]
+    assert np.abs(pred1 - actual).max() < 0.15
+
+
 def test_closed_loop_vmaps_over_scenarios():
     """Scenario batching smoke test: vmap the whole lap over initial states."""
     cfg = MPCConfig(N=8, model="kinematic", weights=MPCWeights.for_model("kinematic"))
