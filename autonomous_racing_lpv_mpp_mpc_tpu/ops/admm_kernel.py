@@ -337,7 +337,8 @@ def pallas_admm_solve(
     converged = jnp.logical_and(r_prim <= eps_prim, r_dual <= eps_dual)
 
     # once-per-solve rho adaptation (mirrors the XLA rho_interval=0 path)
-    st = ADMMState(X, U, s, lam, r_prim, r_dual, eps_prim, eps_dual)
+    st = ADMMState(X, U, s, lam, r_prim, r_dual, eps_prim, eps_dual,
+                   jnp.zeros((B,), bool))
     rho_new = jax.vmap(_new_rho)(rho0, st)
 
     return ADMMSolution(
@@ -345,4 +346,5 @@ def pallas_admm_solve(
         converged=converged,
         iters=jnp.full((B,), cfg.max_iter, jnp.int32),
         rho=rho_new,
+        primal_infeasible=jnp.zeros((B,), bool),
     )

@@ -460,11 +460,13 @@ def fused_mpc_solve(
     eps_prim = scfg.eps_abs + scfg.eps_rel * jnp.maximum(stats[:, 2], stats[:, 3])
     eps_dual = scfg.eps_abs + scfg.eps_rel * stats[:, 4]
     converged = jnp.logical_and(r_prim <= eps_prim, r_dual <= eps_dual)
-    st = ADMMState(X, U, s, lam, r_prim, r_dual, eps_prim, eps_dual)
+    st = ADMMState(X, U, s, lam, r_prim, r_dual, eps_prim, eps_dual,
+                   jnp.zeros((B,), bool))
     rho_new = jax.vmap(_new_rho)(rho0, st)
     return ADMMSolution(
         X=X, U=U, s=s, lam=lam, r_prim=r_prim, r_dual=r_dual,
         converged=converged,
         iters=jnp.full((B,), scfg.max_iter, jnp.int32),
         rho=rho_new,
+        primal_infeasible=jnp.zeros((B,), bool),
     )

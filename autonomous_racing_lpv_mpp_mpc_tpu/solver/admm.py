@@ -75,6 +75,7 @@ class ADMMState(NamedTuple):
     r_dual: jnp.ndarray     # scalar
     eps_prim: jnp.ndarray   # scalar
     eps_dual: jnp.ndarray   # scalar
+    primal_infeasible: jnp.ndarray = jnp.asarray(False)  # certificate flag
 
 
 class ADMMSolution(NamedTuple):
@@ -87,6 +88,7 @@ class ADMMSolution(NamedTuple):
     converged: jnp.ndarray  # bool scalar
     iters: jnp.ndarray      # int32 iterations actually informative
     rho: jnp.ndarray        # final rho
+    primal_infeasible: jnp.ndarray = jnp.asarray(False)  # OSQP certificate
 
 
 def _folded_cost(qp: BoxQP, rho, sigma) -> LQRCost:
@@ -130,7 +132,21 @@ def _iterate(qp: BoxQP, fac: RiccatiFactors, cfg: SolverConfig, rho, st: ADMMSta
     eps_prim = cfg.eps_abs + cfg.eps_rel * jnp.maximum(jnp.max(jnp.abs(w)), jnp.max(jnp.abs(s_new)))
     dty = jnp.maximum(jnp.max(jnp.abs(lam_new @ qp.Dx)), jnp.max(jnp.abs(lam_new[:N] @ qp.Du)))
     eps_dual = cfg.eps_abs + cfg.eps_rel * dty
-    return ADMMState(X, U, s_new, lam_new, r_prim, r_dual, eps_prim, eps_dual)
+
+    # Primal-infeasibility signal. OSQP's delta-y certificate does not
+    # transfer to this reduced splitting (the dynamics are eliminated, so
+    # D'dy only needs to vanish ON the reachable manifold, which a cheap
+    # z-space norm cannot test). The practically-useful detector for MPC is:
+    # the dual residual has converged (iterates settled) while the primal
+    # residual is stuck far above tolerance — the projection cannot reach
+    # the reachable manifold. Consumers (loop/mpc.py fallback, sweep
+    # metrics) treat it as "this stage's constraint set is unreachable".
+    pinf = jnp.logical_and(
+        r_dual <= eps_dual,
+        r_prim > 1e2 * eps_prim,
+    )
+    return ADMMState(X, U, s_new, lam_new, r_prim, r_dual, eps_prim, eps_dual,
+                     pinf)
 
 
 def _init_state(qp: BoxQP, warm) -> ADMMState:
@@ -215,6 +231,7 @@ def admm_solve(
         converged=_converged(st),
         iters=jnp.where(done_at > 0, done_at, iters),
         rho=rho,
+        primal_infeasible=st.primal_infeasible,
     )
 
 
@@ -255,6 +272,7 @@ def admm_solve_single(
         X=st.X, U=st.U, s=st.s, lam=st.lam,
         r_prim=st.r_prim, r_dual=st.r_dual,
         converged=_converged(st), iters=it, rho=rho,
+        primal_infeasible=st.primal_infeasible,
     )
 
 

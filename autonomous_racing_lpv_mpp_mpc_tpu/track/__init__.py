@@ -1,6 +1,7 @@
 from .track import (
     Track,
     compile_track,
+    track_from_centerline,
     curvature_at,
     centerline_pose,
     frenet_to_global,
@@ -12,6 +13,7 @@ from .specs import OVAL_SEGMENTS, RACETRACK_SEGMENTS, oval_track, racetrack
 __all__ = [
     "Track",
     "compile_track",
+    "track_from_centerline",
     "curvature_at",
     "centerline_pose",
     "frenet_to_global",

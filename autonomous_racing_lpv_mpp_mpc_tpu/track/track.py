@@ -122,6 +122,61 @@ def compile_track(
     )
 
 
+def track_from_centerline(
+    xy: "np.ndarray",
+    width: float = 0.8,
+    ds: float = 0.02,
+    closed: bool = True,
+) -> Track:
+    """Build a :class:`Track` from recorded centerline XY points.
+
+    Reference-lineage parity: real-car tracks are defined from recorded
+    centerlines rather than analytic segment lists. The polyline is
+    arc-length resampled to the uniform grid, headings are unwrapped, and
+    curvature is the (smoothed) heading derivative.
+    """
+    xy = np.asarray(xy, dtype=np.float64)
+    if closed and not np.allclose(xy[0], xy[-1]):
+        xy = np.vstack([xy, xy[:1]])
+    seg = np.diff(xy, axis=0)
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    s_nodes = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = float(s_nodes[-1])
+    n = max(8, int(round(total / ds)))
+    s_uni = np.linspace(0.0, total, n + 1)
+    Xu = np.interp(s_uni, s_nodes, xy[:, 0])
+    Yu = np.interp(s_uni, s_nodes, xy[:, 1])
+
+    # heading from central differences on the resampled closed curve
+    dx = np.gradient(Xu)
+    dy = np.gradient(Yu)
+    if closed:
+        dx[0] = dx[-1] = (Xu[1] - Xu[-2]) / 2
+        dy[0] = dy[-1] = (Yu[1] - Yu[-2]) / 2
+    psi_wrapped = np.arctan2(dy, dx)
+    psi = np.unwrap(psi_wrapped)
+    h = total / n
+    kap_nodes = np.gradient(psi) / h
+    # light smoothing: curvature is a second derivative of noisy data
+    kernel = np.array([0.25, 0.5, 0.25])
+    kap_s = np.convolve(
+        np.concatenate([kap_nodes[-1:], kap_nodes, kap_nodes[:1]]),
+        kernel, mode="same",
+    )[1:-1]
+    kap_cells = 0.5 * (kap_s[:-1] + kap_s[1:])
+
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return Track(
+        ds=f32(total / n),
+        length=f32(total),
+        width=f32(width),
+        kappa=f32(kap_cells),
+        X=f32(Xu),
+        Y=f32(Yu),
+        psi=f32(psi),
+    )
+
+
 def wrap_s(track: Track, s: jnp.ndarray) -> jnp.ndarray:
     """Wrap arc length into [0, length). Branch-free, works on traced values."""
     return s - track.length * jnp.floor(s / track.length)

@@ -161,6 +161,18 @@ def test_admm_unconstrained_equals_lqr():
     np.testing.assert_allclose(np.asarray(sol.U), np.asarray(U), atol=2e-3)
 
 
+def test_primal_infeasibility_flagged():
+    """Unreachable hard box => primal_infeasible flag (dual settles while
+    the primal residual stays stuck far above tolerance)."""
+    qp = random_qp(2)
+    cfg = SolverConfig(max_iter=400)
+    assert not bool(admm_solve(qp, cfg).primal_infeasible)
+    qp_bad = qp._replace(lb=qp.lb.at[-1, 0].set(5.0), ub=qp.ub.at[-1, 0].set(6.0))
+    sol = admm_solve(qp_bad, cfg)
+    assert not bool(sol.converged)
+    assert bool(sol.primal_infeasible)
+
+
 def test_warm_start_reduces_iterations():
     qp = random_qp(9)
     cfg = SolverConfig(max_iter=400, eps_abs=1e-6, eps_rel=1e-6)

@@ -81,6 +81,48 @@ def test_transforms_jit_and_vmap(track):
     assert X.shape == (16,)
 
 
+def test_track_from_centerline_roundtrip():
+    """Building a track from recorded centerline XY reproduces the analytic
+    one (length, curvature, transforms) and is drivable."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import track_from_centerline
+
+    ref = oval_track()
+    xy = np.stack([np.asarray(ref.X), np.asarray(ref.Y)], axis=1)
+    t2 = track_from_centerline(xy, width=0.8, ds=0.02)
+    assert abs(float(t2.length) - float(ref.length)) < 0.05
+    # curvature plateaus match (straight ~0, corner ~1/R = 1.0)
+    k = np.asarray(t2.kappa)
+    assert abs(np.median(k[np.abs(k) < 0.3])) < 0.05
+    corner = k[k > 0.5]
+    assert corner.size > 0 and abs(np.median(corner) - 1.0) < 0.1
+    # roundtrip transforms still work
+    s = jnp.linspace(0.3, float(t2.length) - 0.3, 31)
+    X, Y, psi = jax.vmap(lambda a: frenet_to_global(t2, a, 0.1, 0.0))(s)
+    s2, ey2, _ = jax.vmap(lambda a, b, c: global_to_frenet(t2, a, b, c))(X, Y, psi)
+    np.testing.assert_allclose(np.asarray(ey2), 0.1, atol=0.02)
+
+
+def test_drive_on_centerline_track():
+    """Closed loop completes a lap on an XY-imported track."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+        MPCConfig, MPCWeights, SolverConfig, VehicleParams,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import closed_loop, constant_refs
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import track_from_centerline
+
+    ref = oval_track()
+    xy = np.stack([np.asarray(ref.X), np.asarray(ref.Y)], axis=1)
+    t2 = track_from_centerline(xy, width=0.8, ds=0.02)
+    cfg = MPCConfig(N=10, model="kinematic",
+                    weights=MPCWeights.for_model("kinematic"))
+    log = closed_loop(VehicleParams(), cfg, SolverConfig(max_iter=40), t2,
+                      jnp.array([0.5, 0.0, 0.0, 0.0]),
+                      constant_refs(cfg, 1.5), T=300)
+    X = np.asarray(log.X)
+    assert X[-1, 2] > float(t2.length)
+    assert np.abs(X[:, 3]).max() < 0.1
+
+
 def test_tab_chicane_nets_zero():
     # the _tab block is equivalent to a straight of 4r (specs.py docstring)
     from autonomous_racing_lpv_mpp_mpc_tpu.track.specs import _tab
