@@ -95,6 +95,27 @@ def test_acceptance_control_sequence_matches_oracle():
     assert max_du < 2e-3, f"max |u_jax - u_oracle| = {max_du}"
 
 
+@pytest.mark.parametrize("mode", [
+    ("ltv", "expm"),      # successive linearization (non-reference extra)
+    ("lpv", "euler"),     # the reference's own discretization semantics
+])
+def test_linearization_discretization_modes(mode):
+    """Every (linearization, discretization) mode drives the racetrack."""
+    lin, disc = mode
+    cfg = MPCConfig(N=20, model="dynamic", linearization=lin, discretization=disc)
+    scfg = SolverConfig(max_iter=40, rho_interval=0)
+    track = racetrack()
+    # euler needs vx >= ~1.5 (forward-Euler stability of the stiff lateral
+    # dynamics — why "expm" is the default; models/discretize.py)
+    x0 = jnp.array([1.5, 0.0, 0.0, 0.0, 0.0, 0.0])
+    log = closed_loop(P, cfg, scfg, track, x0, constant_refs(cfg, 2.0),
+                      T=400, sim_tire="pacejka")
+    X = np.asarray(log.X)
+    assert X[-1, 4] > 0.7 * float(track.length)
+    assert np.abs(X[:, 5]).max() < 0.15
+    assert np.asarray(log.converged).mean() > 0.95
+
+
 def test_low_friction_envelope():
     """mu=0.5 with vx_ref above the friction cap: the vx-reference clamp
     keeps ADMM converging and the car inside the corridor (was conv=0.24
