@@ -155,8 +155,10 @@ class SolverConfig:
     # single-solve path: early-exit while_loop on termination check;
     # batched path: fixed iteration count (static shapes). SURVEY.md §7 L4.
     check_termination: int = struct.field(pytree_node=False, default=5)
-    # batched-solve backend: "xla" (vmapped scans) or "pallas" (fused VMEM
-    # kernel, TPU only — ~3.6x faster at batch 4096)
+    # batched-solve backend: "xla" (vmapped scans), "pallas" (solver-only
+    # VMEM kernel), "fused" (assembly+solver kernel, ops/fused_kernel.py),
+    # or "mega" (the whole receding-horizon step incl. plant in one kernel,
+    # ops/megastep_kernel.py — used via megastep(), not mpc_step_batched)
     backend: str = struct.field(pytree_node=False, default="xla")
 
 

@@ -39,15 +39,9 @@ from .admm_kernel import (
     _mv,
     _stack_g,
 )
+from .stage_math import stage_aug_ab, unpack_params
 
 NX, NU, NA, NC = 6, 2, 8, 6
-_VX_EPS = 0.05
-_DENOM_EPS = 0.1
-_PACEJKA_C = 1.3
-
-
-def _sinc(x):
-    return jnp.sinc(x / jnp.pi)
 
 
 def _fused_kernel(
@@ -90,16 +84,7 @@ def _fused_kernel(
     *, N: int, dt: float, max_iter: int, sigma: float, alpha: float,
     tire: str, squarings: int = 4, order: int = 6,
 ):
-    m_ = prm_ref[0]
-    Iz = prm_ref[1]
-    lf = prm_ref[2]
-    lr = prm_ref[3]
-    Cf0 = prm_ref[4]
-    Cr0 = prm_ref[5]
-    mu = prm_ref[6]
-    g_ = prm_ref[7]
-    cd0 = prm_ref[8]
-    cd1 = prm_ref[9]
+    pv = unpack_params(prm_ref)
     rho = rho_ref[0]
     B = rho.shape[-1]
     f32 = jnp.float32
@@ -120,92 +105,14 @@ def _fused_kernel(
     I8v = I8_ref[...][:, :, None]
 
     def build_stage(k, _):
-        x = xs_ref[k]            # (NX, B)
-        u = us_ref[k]            # (NU, B)
-        kap = kap_ref[k]         # (B,)
-        vx, vy, wz, epsi, ey = x[0], x[1], x[2], x[3], x[5]
-        delta = u[0]
-        vxs = jnp.maximum(vx, _VX_EPS)
-
-        if tire == "pacejka":
-            fzf = mu * m_ * g_ * lr / (lf + lr)
-            fzr = mu * m_ * g_ * lf / (lf + lr)
-            af = delta - jnp.arctan2(vy + lf * wz, vxs)
-            ar = -jnp.arctan2(vy - lr * wz, vxs)
-            eps = 1e-4
-            af = jnp.where(jnp.abs(af) < eps, eps, af)
-            ar = jnp.where(jnp.abs(ar) < eps, eps, ar)
-            Bf_ = Cf0 / (_PACEJKA_C * jnp.maximum(fzf, 1e-6))
-            Br_ = Cr0 / (_PACEJKA_C * jnp.maximum(fzr, 1e-6))
-            Cf = fzf * jnp.sin(_PACEJKA_C * jnp.arctan(Bf_ * af)) / af
-            Cr = fzr * jnp.sin(_PACEJKA_C * jnp.arctan(Br_ * ar)) / ar
-        else:
-            Cf, Cr = Cf0, Cr0
-
-        sd, cd_ = jnp.sin(delta), jnp.cos(delta)
-        se, ce = jnp.sin(epsi), jnp.cos(epsi)
-        den = jnp.maximum(1.0 - kap * ey, _DENOM_EPS)
-        z = jnp.zeros_like(vx)
-
-        # continuous-time A6 rows (models/lpv.py formulas, batch-last)
-        a00 = -(cd1 + cd0 / vxs) / m_
-        a01 = Cf * sd / (m_ * vxs) + wz
-        a02 = Cf * lf * sd / (m_ * vxs)
-        a11 = -(Cf * cd_ + Cr) / (m_ * vxs)
-        a12 = (-Cf * lf * cd_ + Cr * lr) / (m_ * vxs) - vxs
-        a21 = (-lf * Cf * cd_ + lr * Cr) / (Iz * vxs)
-        a22 = -(lf**2 * Cf * cd_ + lr**2 * Cr) / (Iz * vxs)
-        a30 = -kap * ce / den
-        a31 = kap * se / den
-        a40 = ce / den
-        a41 = -se / den
-        a51 = ce
-        a53 = vxs * _sinc(epsi)
-        one = jnp.ones_like(vx)
-        A6 = jnp.stack([
-            jnp.stack([a00, a01, a02, z, z, z]),
-            jnp.stack([z, a11, a12, z, z, z]),
-            jnp.stack([z, a21, a22, z, z, z]),
-            jnp.stack([a30, a31, one, z, z, z]),
-            jnp.stack([a40, a41, z, z, z, z]),
-            jnp.stack([z, a51, z, a53, z, z]),
-        ])                                           # (NX, NX, B)
-        b00 = -Cf * sd / m_
-        b10 = Cf * cd_ / m_
-        b20 = lf * Cf * cd_ / Iz
-        B6 = jnp.stack([
-            jnp.stack([b00, one]),
-            jnp.stack([b10, z]),
-            jnp.stack([b20, z]),
-            jnp.stack([z, z]),
-            jnp.stack([z, z]),
-            jnp.stack([z, z]),
-        ])                                           # (NX, NU, B)
-
-        # Van Loan block (NA, NA, B): [[A6, B6], [0, 0]]
-        top = jnp.concatenate([A6, B6], axis=1)      # (NX, NA, B)
-        Mv = jnp.concatenate(
-            [top, jnp.zeros((NU, NA, B), f32)], axis=0
-        ) * (dt / (2.0 ** squarings))
-        E = I8v + Mv / order
-        for j in range(order - 1, 0, -1):
-            E = I8v + _mm(Mv, E) / j
-        for _ in range(squarings):
-            E = _mm(E, E)
-        Ad6 = E[:NX, :NX]                            # (NX, NX, B)
-        # NOTE: E[:NX, NX:NX+NU] (offset slice of a matmul-chain result)
-        # crashes the Mosaic->LLO lowering ("Check failed: d >> 32 == 0");
-        # extract the B block with a constant column-selector contraction.
-        Sel = Sel_ref[...]                           # (NA, NU)
-        Bd6 = (E[:, :, None, :] * Sel[None, :, :, None]).sum(axis=1)[:NX]
-
-        # augmented Aa = [[Ad6, 0], [0, 0]], Ba = [[Bd6], [I2]]
-        Aa = jnp.concatenate([
-            jnp.concatenate([Ad6, jnp.zeros((NX, NU, B), f32)], axis=1),
-            jnp.zeros((NU, NA, B), f32),
-        ], axis=0)
-        I2v = I2_ref[...][:, :, None] * jnp.ones((1, 1, B), f32)
-        Ba = jnp.concatenate([Bd6, I2v], axis=0)
+        # LPV + Van Loan + augmentation, batch-last (ops/stage_math.py).
+        # The Sel constant column-selector works around a Mosaic->LLO crash
+        # ("Check failed: d >> 32 == 0") on offset slices of matmul chains.
+        Aa, Ba = stage_aug_ab(
+            xs_ref[k], us_ref[k], kap_ref[k], pv,
+            I8v, I2_ref[...], Sel_ref[...],
+            dt=dt, tire=tire, squarings=squarings, order=order,
+        )
         A_s[k] = Aa
         B_s[k] = Ba
 
@@ -311,6 +218,45 @@ def _fused_kernel(
     stats_out[7] = zero
 
 
+def _make_consts(cfg: MPCConfig, scfg: SolverConfig):
+    """Static constant operands shared by the fused kernels: constraint
+    rows, soft weights, folded cost blocks, identities, the Van Loan column
+    selector. (Pallas requires captured constants as operands.)"""
+    w = cfg.weights
+    sigma = float(scfg.sigma)
+    Dx_np = np.zeros((NC, NA), np.float32)
+    Du_np = np.zeros((NC, NU), np.float32)
+    Dx_np[0, 0] = 1.0
+    Dx_np[1, 5] = 1.0
+    Du_np[2, 0] = 1.0
+    Du_np[3, 1] = 1.0
+    Dx_np[4, 6] = -1.0
+    Du_np[4, 0] = 1.0
+    Dx_np[5, 7] = -1.0
+    Du_np[5, 1] = 1.0
+    soft_np = np.full((NC, 1), np.inf, np.float32)
+    soft_np[1, 0] = float(cfg.bounds.ey_soft)
+    q_w = np.asarray(w.q, np.float32)
+    r_w = np.asarray(w.r, np.float32)
+    dr_w = np.asarray(w.dr, np.float32)
+    qdiag = np.concatenate([q_w, dr_w])
+    Qc = np.diag(qdiag) + sigma * np.eye(NA, dtype=np.float32)
+    Qtc = np.diag(np.concatenate([q_w, np.zeros(NU, np.float32)])) \
+        + sigma * np.eye(NA, dtype=np.float32)
+    Rc = np.diag(r_w + dr_w) + sigma * np.eye(NU, dtype=np.float32)
+    Mc = np.zeros((NA, NU), np.float32)
+    Mc[NX:, :] = -np.diag(dr_w)
+    Sel = np.zeros((NA, NU), np.float32)
+    Sel[NX, 0] = 1.0
+    Sel[NX + 1, 1] = 1.0
+    return tuple(jnp.asarray(a) for a in (
+        Dx_np, Du_np, soft_np, Qc, Qtc, Rc, Mc,
+        Dx_np.T @ Dx_np, Du_np.T @ Du_np, Dx_np.T @ Du_np,
+        q_w[:, None], np.eye(NA, dtype=np.float32),
+        np.eye(NU, dtype=np.float32), Sel,
+    ))
+
+
 def fused_mpc_solve(
     cfg: MPCConfig,
     scfg: SolverConfig,
@@ -350,40 +296,9 @@ def fused_mpc_solve(
     if pad:
         prm = jnp.concatenate([prm, jnp.repeat(prm[:, :1], pad, axis=1)], 1)
 
-    # ---- static constant operands ----
-    w = cfg.weights
+    # ---- static constant operands (shared with the megastep kernel) ----
     sigma = float(scfg.sigma)
-    Dx_np = np.zeros((NC, NA), np.float32)
-    Du_np = np.zeros((NC, NU), np.float32)
-    Dx_np[0, 0] = 1.0
-    Dx_np[1, 5] = 1.0
-    Du_np[2, 0] = 1.0
-    Du_np[3, 1] = 1.0
-    Dx_np[4, 6] = -1.0
-    Du_np[4, 0] = 1.0
-    Dx_np[5, 7] = -1.0
-    Du_np[5, 1] = 1.0
-    soft_np = np.full((NC, 1), np.inf, np.float32)
-    soft_np[1, 0] = float(cfg.bounds.ey_soft)
-    q_w = np.asarray(w.q, np.float32)
-    r_w = np.asarray(w.r, np.float32)
-    dr_w = np.asarray(w.dr, np.float32)
-    qdiag = np.concatenate([q_w, dr_w])
-    Qc = np.diag(qdiag) + sigma * np.eye(NA, dtype=np.float32)
-    Qtc = np.diag(np.concatenate([q_w, np.zeros(NU, np.float32)])) \
-        + sigma * np.eye(NA, dtype=np.float32)
-    Rc = np.diag(r_w + dr_w) + sigma * np.eye(NU, dtype=np.float32)
-    Mc = np.zeros((NA, NU), np.float32)
-    Mc[NX:, :] = -np.diag(dr_w)
-    Sel = np.zeros((NA, NU), np.float32)
-    Sel[NX, 0] = 1.0
-    Sel[NX + 1, 1] = 1.0
-    consts = tuple(jnp.asarray(a) for a in (
-        Dx_np, Du_np, soft_np, Qc, Qtc, Rc, Mc,
-        Dx_np.T @ Dx_np, Du_np.T @ Du_np, Dx_np.T @ Du_np,
-        q_w[:, None], np.eye(NA, dtype=np.float32),
-        np.eye(NU, dtype=np.float32), Sel,
-    ))
+    consts = _make_consts(cfg, scfg)
 
     ins = (
         prep(X_sched[:, :N, :]),     # (N, NX, Bp)

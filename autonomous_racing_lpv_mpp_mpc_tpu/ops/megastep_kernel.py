@@ -1,0 +1,581 @@
+"""Megastep kernel: ONE Pallas kernel per receding-horizon control step.
+
+The fused assembly+solver kernel (ops/fused_kernel.py) still leaves the
+light prepare (schedule shift, curvature/bound gathers), the post-solve
+carry update, and the nonlinear plant sub-stepping in XLA — each a separate
+HBM round-trip of the (B, N, ...) tensors plus batch-first<->batch-last
+layout transposes at every kernel boundary, measured at ~40% of the 7.25 ms
+step (PERF.md). This kernel moves the ENTIRE step on-chip:
+
+    shift schedule -> curvature window lookup -> friction-cap bounds ->
+    LPV + Van Loan + augmentation -> Riccati factorization ->
+    warm-started ADMM iterations -> convergence test + limp-home fallback ->
+    carry update -> plant fine Euler sub-steps
+
+and the closed-loop carry lives PERMANENTLY in batch-last layout, so the
+lap scan has zero per-step transposes: HBM traffic per step is exactly one
+read + one write of the carry.
+
+Track curvature inside the kernel: the WHOLE dense curvature table rides
+along as a (n_cells, 1) VMEM operand (a ~12 KB constant for the 2 cm-grid
+racetrack), and every lookup is branch-free index arithmetic + a one-hot
+contraction over the table (dynamic per-lane gathers have no Mosaic
+lowering; an (n, 128) one-hot multiply-reduce is ~1 us of VPU time).
+A host-side windowed gather was tried first and measured at 8.9 ms/step at
+batch 4096 — TPU XLA scalar gathers are catastrophically slow, so the
+lookup must live on the VPU. For very long tracks (n >> 10k cells) a
+windowed in-kernel variant would be the next step.
+
+Reference parity: this is the whole SURVEY.md §3.1 hot-loop body (estimate
+-> solve -> apply -> simulate) per scenario; semantics identical to
+loop/mpc.py::mpc_step_batched(backend="fused") + loop/closed_loop.py::
+plant_step, verified in tests/test_megastep.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import MPCConfig, SolverConfig, VehicleParams
+from ..solver.admm import _RHO_MAX, _RHO_MIN, _RHO_TOL
+from ..track.track import Track
+from .admm_kernel import (
+    PALLAS_BLOCK,
+    _dual_norm,
+    _inv2,
+    _mm,
+    _mtm,
+    _mtv,
+    _mv,
+    _stack_g,
+)
+from .fused_kernel import _make_consts
+from .stage_math import (
+    NA,
+    NC,
+    NU,
+    NX,
+    atan_bl,
+    f_dynamic_bl,
+    stage_aug_ab,
+    unpack_params,
+)
+
+
+
+class MegaCarry(NamedTuple):
+    """Closed-loop carry, batch-LAST (lane dim trailing) for the megastep."""
+
+    x: jnp.ndarray        # (NX, B) plant state
+    X_pred: jnp.ndarray   # (N+1, NX, B)
+    U_pred: jnp.ndarray   # (N, NU, B)
+    s: jnp.ndarray        # (N+1, NC, B) ADMM split warm start
+    lam: jnp.ndarray      # (N+1, NC, B)
+    u_prev: jnp.ndarray   # (NU, B)
+    rho: jnp.ndarray      # (B,)
+
+
+def _megastep_kernel(
+    # batched inputs (batch-last)
+    x_ref,        # (NX, B) current plant state
+    Xp_ref,       # (N+1, NX, B) previous prediction
+    Up_ref,       # (N, NU, B)
+    sw_ref,       # (N+1, NC, B) previous ADMM split (un-shifted)
+    lamw_ref,     # (N+1, NC, B)
+    uprev_ref,    # (NU, B)
+    rho_ref,      # (1, B)
+    xref_ref,     # (N+1, NX, B) tracking reference
+    prm_ref,      # (10, B) vehicle params
+    ktab_ref,     # (n_pad, 1) dense curvature table (whole track)
+    taux_ref,     # (2, 1): [track length, 1/ds]
+    # constants (shared with the fused kernel)
+    Dx_ref, Du_ref, soft_ref,
+    Qc_ref, Qtc_ref, Rc_ref, Mc_ref,
+    DxDx_ref, DuDu_ref, DxDu_ref,
+    qw_ref, I8_ref, I2_ref, Sel_ref,
+    # outputs
+    xn_out,       # (NX, B) next plant state
+    Xp_out,       # (N+1, NX, B) new prediction
+    Up_out,       # (N, NU, B)
+    s_out, lam_out,   # (N+1, NC, B)
+    u0_out,       # (NU, B) applied control
+    stats_out,    # (8, B)
+    # scratch
+    Xs_s,         # (N+1, NX, B) scheduling states
+    Us_s,         # (N, NU, B)
+    kap_s,        # (N+1, B) curvature at scheduled s
+    lb_s, ub_s,   # (N+1, NC, B)
+    A_s, B_s,     # stage matrices
+    q0_s,
+    K_s, Hiv_s, Hux_s, d_s,
+    v_s, sprev_s, G_s,
+    Xsol_s,       # (N+1, NA, B) ADMM primal iterate
+    Usol_s,       # (N, NU, B)
+    *, N: int, dt: float, max_iter: int, sigma: float, alpha: float,
+    tire: str, sim_tire: str, n_sub: int, n_cells: int,
+    eps_abs: float, eps_rel: float, eps_fallback: float,
+    vx_min: float, vx_max: float, ey_max: float, delta_max: float,
+    a_min: float, a_max: float, ddelta_max: float, da_max: float,
+    kappa_speed_cap: bool, a_lat_frac: float,
+    squarings: int = 4, order: int = 6, unroll_sweeps: bool = False,
+    unroll_iters: bool = False,
+):
+    f32 = jnp.float32
+    pv = unpack_params(prm_ref)
+    rho = rho_ref[0]
+    B = rho.shape[-1]
+    Dx = Dx_ref[...]
+    Du = Du_ref[...]
+    soft = soft_ref[...]
+    qw_arr = qw_ref[...]
+    I8v = I8_ref[...][:, :, None]
+    x_now = x_ref[...]
+
+    # ---- curvature lookup: one-hot contraction over the dense table
+    # (track/track.py::curvature_at semantics: wrap, floor, clip) ----
+    ktab = ktab_ref[...]                         # (n_pad, 1)
+    n_pad = ktab.shape[0]
+    length = taux_ref[0, 0]
+    inv_ds = taux_ref[1, 0]
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (n_pad, B), 0)
+
+    def kap_at(s):
+        sm = s - length * jnp.floor(s / length)
+        idx = jnp.clip((sm * inv_ds).astype(jnp.int32), 0, n_cells - 1)
+        oh = (row_n == idx[None, :]).astype(f32)
+        return (ktab * oh).sum(axis=0)
+
+    # ---- 1. shift schedule (engine/assembly.py::shift_schedule) ----
+    Xs_s[0] = x_now
+    def shx(k, _):
+        Xs_s[k] = Xp_ref[jnp.minimum(k + 1, N)]
+        return 0
+    jax.lax.fori_loop(1, N + 1, shx, 0)
+    def shu(k, _):
+        Us_s[k] = Up_ref[jnp.minimum(k + 1, N - 1)]
+        return 0
+    jax.lax.fori_loop(0, N, shu, 0)
+
+    # ---- 2. curvature + bounds per stage (engine/assembly.py::
+    #         tracker_bounds: boxes + friction-circle vx cap) ----
+    lo_np = [vx_min, -ey_max, -delta_max, a_min, -ddelta_max, -da_max]
+    hi_np = [vx_max, ey_max, delta_max, a_max, ddelta_max, da_max]
+
+    def bnd(k, _):
+        kapk = kap_at(Xs_s[k][4])
+        kap_s[k] = kapk
+        if kappa_speed_cap:
+            cap = jnp.sqrt(
+                a_lat_frac * pv["mu"] * pv["g"] / jnp.maximum(jnp.abs(kapk), 1e-6)
+            )
+            cap = jnp.clip(cap, vx_min, vx_max)
+        else:
+            cap = jnp.full((B,), vx_max, f32)
+        ones = jnp.ones((B,), f32)
+        lb_s[k] = jnp.stack([v * ones for v in lo_np])
+        ub_s[k] = jnp.stack([cap] + [v * ones for v in hi_np[1:]])
+        return 0
+
+    jax.lax.fori_loop(0, N + 1, bnd, 0)
+    inf_row = jnp.full((B,), jnp.inf, f32)
+    # stage 0: state rows disabled (x0 is fixed); terminal: no u_N
+    lb_s[0, 0] = -inf_row
+    lb_s[0, 1] = -inf_row
+    ub_s[0, 0] = inf_row
+    ub_s[0, 1] = inf_row
+    for r in range(2, NC):
+        lb_s[N, r] = -inf_row
+        ub_s[N, r] = inf_row
+
+    # ---- 3. stage matrices + linear cost (vx-ref clamped to the cap) ----
+    def build_stage(k, _):
+        Aa, Ba = stage_aug_ab(
+            Xs_s[k], Us_s[k], kap_s[k], pv,
+            I8v, I2_ref[...], Sel_ref[...],
+            dt=dt, tire=tire, squarings=squarings, order=order,
+        )
+        A_s[k] = Aa
+        B_s[k] = Ba
+        xr = xref_ref[k]
+        xr = jnp.concatenate(
+            [jnp.minimum(xr[0], ub_s[k, 0])[None], xr[1:]], axis=0
+        )
+        q0_s[k] = jnp.concatenate(
+            [-(qw_arr * xr), jnp.zeros((NU, B), f32)], axis=0
+        )
+        return 0
+
+    if unroll_sweeps:
+        for k in range(N):
+            build_stage(k, 0)
+    else:
+        jax.lax.fori_loop(0, N, build_stage, 0)
+    xrN = xref_ref[N]
+    xrN = jnp.concatenate(
+        [jnp.minimum(xrN[0], ub_s[N, 0])[None], xrN[1:]], axis=0
+    )
+    q0_s[N] = jnp.concatenate([-(qw_arr * xrN), jnp.zeros((NU, B), f32)], axis=0)
+
+    # ---- 4. warm start: shift previous ADMM variables one stage ----
+    def shw(k, _):
+        kk = jnp.minimum(k + 1, N)
+        s_out[k] = jnp.clip(sw_ref[kk], lb_s[k], ub_s[k])
+        lam_out[k] = lamw_ref[kk]
+        return 0
+    jax.lax.fori_loop(0, N + 1, shw, 0)
+
+    # ---- 5. folded cost + Riccati factorization (ops/fused_kernel.py) ----
+    c1 = lambda a: a[:, :, None]
+    Qf = c1(Qc_ref[...]) + c1(DxDx_ref[...]) * rho
+    Qf_term = c1(Qtc_ref[...]) + c1(DxDx_ref[...]) * rho
+    Rf = c1(Rc_ref[...]) + c1(DuDu_ref[...]) * rho
+    Mf = c1(Mc_ref[...]) + c1(DxDu_ref[...]) * rho
+
+    def factor_step(i, V):
+        k = N - 1 - i
+        Ak = A_s[k]
+        Bk = B_s[k]
+        VB = _mm(V, Bk)
+        Huu = Rf + _mtm(Bk, VB)
+        VA = _mm(V, Ak)
+        Hux = jnp.swapaxes(Mf, 0, 1) + _mtm(Bk, VA)
+        Hiv = _inv2(Huu)
+        K = -_mm(Hiv, Hux)
+        K_s[k] = K
+        Hiv_s[k] = Hiv
+        Hux_s[k] = Hux
+        Vn = Qf + _mtm(Ak, VA) + _mtm(Hux, K)
+        return 0.5 * (Vn + jnp.swapaxes(Vn, 0, 1))
+
+    if unroll_sweeps:
+        Vf = Qf_term
+        for i in range(N):
+            Vf = factor_step(i, Vf)
+    else:
+        jax.lax.fori_loop(0, N, factor_step, Qf_term)
+
+    # ---- 6. ADMM iterations ----
+    def ctv(D, y):
+        return (D[:, :, None] * y[:, None, :]).sum(axis=0)
+
+    x0a = jnp.concatenate([x_now, uprev_ref[...]], axis=0)   # (NA, B)
+    Xsol_s[...] = jnp.zeros(Xsol_s.shape, f32)
+    Usol_s[...] = jnp.zeros(Usol_s.shape, f32)
+    beta = jnp.minimum(soft, 1e30)[None, :, :]
+    hard = jnp.isinf(soft)[None, :, :]
+    lb_all = lb_s[...]
+    ub_all = ub_s[...]
+
+    def iteration(_it, __):
+        s = s_out[...]
+        lam = lam_out[...]
+        v_s[...] = s - lam / rho
+
+        def bwd(i, vvec):
+            k = N - 1 - i
+            q_k = q0_s[k] - rho * ctv(Dx, v_s[k]) - sigma * Xsol_s[k]
+            r_k = -rho * ctv(Du, v_s[k]) - sigma * Usol_s[k]
+            h_u = r_k + _mtv(B_s[k], vvec)
+            d = -_mv(Hiv_s[k], h_u)
+            d_s[k] = d
+            return q_k + _mtv(A_s[k], vvec) + _mtv(Hux_s[k], d)
+
+        vN = q0_s[N] - rho * ctv(Dx, v_s[N]) - sigma * Xsol_s[N]
+        if unroll_sweeps:
+            vvec = vN
+            for i in range(N):
+                vvec = bwd(i, vvec)
+        else:
+            jax.lax.fori_loop(0, N, bwd, vN)
+
+        def fwd(k, x):
+            u = _mv(K_s[k], x) + d_s[k]
+            x_n = _mv(A_s[k], x) + _mv(B_s[k], u)
+            Usol_s[k] = u
+            Xsol_s[k + 1] = x_n
+            return x_n
+
+        Xsol_s[0] = x0a
+        if unroll_sweeps:
+            xk = x0a
+            for k in range(N):
+                xk = fwd(k, xk)
+        else:
+            jax.lax.fori_loop(0, N, fwd, x0a)
+
+        G = _stack_g(Dx, Du, Xsol_s[...], Usol_s[...])
+        G_s[...] = G
+        w_rel = alpha * G + (1.0 - alpha) * s
+        wl = w_rel + lam / rho
+        clipped = jnp.clip(wl, lb_all, ub_all)
+        soft_s = (beta * clipped + rho * wl) / (beta + rho)
+        s_new = jnp.where(hard, clipped, soft_s)
+        sprev_s[...] = s
+        s_out[...] = s_new
+        lam_out[...] = lam + rho * (w_rel - s_new)
+        return 0
+
+    if unroll_iters:
+        for it in range(max_iter):
+            iteration(it, 0)
+    else:
+        jax.lax.fori_loop(0, max_iter, iteration, 0)
+
+    # ---- 7. residuals / convergence / rho adaptation (solver/admm.py) ----
+    G = G_s[...]
+    s_f = s_out[...]
+    lam_f = lam_out[...]
+    red = lambda t: jnp.max(jnp.abs(t), axis=(0, 1))
+    ds_ = s_f - sprev_s[...]
+    r_prim = red(G - s_f)
+    r_dual = rho * _dual_norm(Dx, Du, ds_, N)
+    eps_prim = eps_abs + eps_rel * jnp.maximum(red(G), red(s_f))
+    eps_dual = eps_abs + eps_rel * _dual_norm(Dx, Du, lam_f, N)
+    converged = jnp.logical_and(r_prim <= eps_prim, r_dual <= eps_dual)
+
+    ratio = jnp.sqrt(
+        (r_prim / jnp.maximum(eps_prim, 1e-12))
+        / jnp.maximum(r_dual / jnp.maximum(eps_dual, 1e-12), 1e-12)
+    )
+    rho_new = jnp.clip(rho * ratio, _RHO_MIN, _RHO_MAX)
+    adapt = jnp.logical_or(ratio > _RHO_TOL, ratio < 1.0 / _RHO_TOL)
+    rho_next = jnp.where(adapt, rho_new, rho)
+
+    stats_out[0] = r_prim
+    stats_out[1] = r_dual
+    stats_out[2] = converged.astype(f32)
+    stats_out[3] = rho_next
+    stats_out[4] = jnp.zeros((B,), f32)
+    stats_out[5] = jnp.zeros((B,), f32)
+    stats_out[6] = jnp.zeros((B,), f32)
+    stats_out[7] = jnp.zeros((B,), f32)
+
+    # ---- 8. post-solve: accept vs limp-home fallback (loop/mpc.py) ----
+    usable = jnp.logical_or(
+        converged,
+        jnp.logical_and(r_prim < eps_fallback, r_dual < eps_fallback),
+    )[None, :]                                           # (1, B)
+    kap_now = kap_at(x_now[4])
+    L = pv["lf"] + pv["lr"]
+    delta_ff = atan_bl(kap_now * L) - 0.5 * x_now[5] * jnp.sign(x_now[0])
+    delta_ff = jnp.clip(delta_ff, -delta_max, delta_max)
+    a_fb = jnp.where(x_now[0] > 2.0 * vx_min, -0.5, 0.0)
+    u_fb = jnp.stack([delta_ff, a_fb])                   # (NU, B)
+    u0 = jnp.where(usable, Usol_s[0], u_fb)
+    u0_out[...] = u0
+
+    def upd_x(k, _):
+        Xp_out[k] = jnp.where(usable, Xsol_s[k][:NX], Xs_s[k])
+        return 0
+    jax.lax.fori_loop(0, N + 1, upd_x, 0)
+    def upd_u(k, _):
+        Up_out[k] = jnp.where(usable, Usol_s[k], Us_s[k])
+        return 0
+    jax.lax.fori_loop(0, N, upd_u, 0)
+
+    # ---- 9. plant: fine Euler sub-steps (loop/closed_loop.py::plant_step) --
+    h = dt / n_sub
+
+    def sub(_i, xc):
+        return xc + h * f_dynamic_bl(pv, xc, u0, kap_at(xc[4]), sim_tire)
+
+    xn_out[...] = jax.lax.fori_loop(0, n_sub, sub, x_now)
+
+
+def _table_inputs(track: Track):
+    """Dense curvature table as kernel operands: (n_pad, 1) values (padded
+    to a sublane multiple) + (2, 1) aux [length, 1/ds]."""
+    n = track.kappa.shape[0]
+    n_pad = -(-n // 8) * 8
+    ktab = jnp.concatenate(
+        [track.kappa, jnp.zeros((n_pad - n,), jnp.float32)]
+    )[:, None]
+    taux = jnp.stack([track.length, 1.0 / track.ds])[:, None]
+    return ktab, taux, n
+
+
+def megastep_init(
+    p_b: VehicleParams, cfg: MPCConfig, track: Track, x0_b: jnp.ndarray,
+) -> MegaCarry:
+    """Batch-last closed-loop carry from the standard (batch-first) init."""
+    from ..loop.mpc import mpc_init
+
+    carry = jax.vmap(lambda pp, x: mpc_init(pp, cfg, track, x))(p_b, x0_b)
+    bl = lambda a: jnp.moveaxis(a, 0, -1)
+    return MegaCarry(
+        x=bl(x0_b), X_pred=bl(carry.X_pred), U_pred=bl(carry.U_pred),
+        s=bl(carry.s), lam=bl(carry.lam), u_prev=bl(carry.u_prev),
+        rho=carry.rho,
+    )
+
+
+def megastep_params(p_b: VehicleParams, B: int) -> jnp.ndarray:
+    """(10, B) stacked vehicle-parameter rows (compute once per sweep)."""
+    prm = jnp.stack([
+        p_b.m, p_b.Iz, p_b.lf, p_b.lr, p_b.Cf, p_b.Cr, p_b.mu, p_b.g,
+        p_b.cd0, p_b.cd1,
+    ])
+    return jnp.broadcast_to(prm.reshape(10, -1), (10, B)).astype(jnp.float32)
+
+
+def megastep_refs(cfg: MPCConfig, x_ref, carry: MegaCarry) -> jnp.ndarray:
+    """(N+1, NX, B) batch-last reference. ``x_ref`` may be a shared
+    (N+1, NX) array, an already batch-last (N+1, NX, B) array, or a planner
+    RefTable (sampled along the scheduled s, matching mpc_prepare_light)."""
+    from ..planner.reftable import RefTable, refs_from_table
+
+    B = carry.x.shape[-1]
+    if isinstance(x_ref, RefTable):
+        s_sched = jnp.concatenate([
+            carry.x[4][None],
+            carry.X_pred[2:, 4],
+            carry.X_pred[-1:, 4],
+        ], axis=0)                                        # (N+1, B)
+        refs = jax.vmap(
+            lambda s: refs_from_table(cfg, x_ref, s), in_axes=1, out_axes=2
+        )(s_sched)
+        return refs
+    x_ref = jnp.asarray(x_ref, jnp.float32)
+    if x_ref.ndim == 2:
+        x_ref = jnp.broadcast_to(x_ref[:, :, None], x_ref.shape + (B,))
+    return x_ref
+
+
+def megastep(
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    prm: jnp.ndarray,          # (10, B) from megastep_params
+    x_ref,                     # shared (N+1,NX) / batch-last / RefTable
+    carry: MegaCarry,
+    n_sub: int = 4,
+    sim_tire: str | None = None,
+    interpret: bool = False,
+    block: int = PALLAS_BLOCK,
+    unroll_sweeps: bool = True,
+    unroll_iters: bool = False,
+):
+    """One full closed-loop step for every scenario, in one kernel launch.
+
+    ``block`` is the scenarios-per-program lane count (multiple of 128);
+    measured neutral between 128 and 256 (the cost is the serial stage
+    chain, not per-block overhead). ``unroll_sweeps`` unrolls the per-stage
+    loops (build/factor/backward/forward) at trace time — measured 6.57 ->
+    4.71 ms/step at batch 4096 (Mosaic software-pipelines the small-matrix
+    ops across stages; dynamic-ref fori_loop blocks that). ``unroll_iters``
+    additionally unrolls the ADMM iteration loop — measured SLOWER (5.45 ms)
+    with a 254 s Mosaic compile; keep it off.
+
+    Returns (new_carry, u0 (NU, B), diag (4, B): r_prim, r_dual,
+    converged, rho_next)."""
+    assert cfg.model == "dynamic" and cfg.linearization == "lpv"
+    N = cfg.N
+    B = carry.x.shape[-1]
+    f32 = jnp.float32
+    PB = block
+    Bp = -(-B // PB) * PB
+    pad = Bp - B
+
+    def padl(leaf):
+        if pad:
+            reps = jnp.repeat(leaf[..., :1], pad, axis=-1)
+            leaf = jnp.concatenate([leaf, reps], axis=-1)
+        return leaf
+
+    xref_bl = megastep_refs(cfg, x_ref, carry)
+    ktab, taux, n_cells = _table_inputs(track)
+
+    ins = tuple(padl(a) for a in (
+        carry.x, carry.X_pred, carry.U_pred, carry.s, carry.lam,
+        carry.u_prev, carry.rho[None, :], xref_bl, prm,
+    )) + (ktab, taux) + _make_consts(cfg, scfg)
+
+    b = cfg.bounds
+    kernel = functools.partial(
+        _megastep_kernel,
+        N=N, dt=float(cfg.dt), max_iter=scfg.max_iter,
+        sigma=float(scfg.sigma), alpha=float(scfg.alpha),
+        tire=cfg.tire, sim_tire=sim_tire or cfg.tire, n_sub=n_sub,
+        n_cells=n_cells,
+        eps_abs=float(scfg.eps_abs), eps_rel=float(scfg.eps_rel),
+        eps_fallback=float(scfg.eps_fallback),
+        vx_min=float(b.vx_min), vx_max=float(b.vx_max),
+        ey_max=float(b.ey_max), delta_max=float(b.delta_max),
+        a_min=float(b.a_min), a_max=float(b.a_max),
+        ddelta_max=float(b.ddelta_max), da_max=float(b.da_max),
+        kappa_speed_cap=bool(cfg.kappa_speed_cap),
+        a_lat_frac=float(cfg.a_lat_frac),
+        unroll_sweeps=unroll_sweeps,
+        unroll_iters=unroll_iters,
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((NX, Bp), f32),            # x_next
+        jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),     # X_pred
+        jax.ShapeDtypeStruct((N, NU, Bp), f32),         # U_pred
+        jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),     # s
+        jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),     # lam
+        jax.ShapeDtypeStruct((NU, Bp), f32),            # u0
+        jax.ShapeDtypeStruct((8, Bp), f32),             # stats
+    )
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape[:-1] + (PB,),
+            lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    n_batched = 9  # x, X_pred, U_pred, s, lam, u_prev, rho, xref, prm
+    in_specs = [bspec(a.shape) for a in ins[:n_batched]] + [
+        cspec(a.shape) for a in ins[n_batched:]
+    ]
+    out_specs = tuple(bspec(s.shape) for s in out_shapes)
+    scratch = [
+        pltpu.VMEM((N + 1, NX, PB), f32),    # Xs
+        pltpu.VMEM((N, NU, PB), f32),        # Us
+        pltpu.VMEM((N + 1, PB), f32),        # kap
+        pltpu.VMEM((N + 1, NC, PB), f32),    # lb
+        pltpu.VMEM((N + 1, NC, PB), f32),    # ub
+        pltpu.VMEM((N, NA, NA, PB), f32),    # A
+        pltpu.VMEM((N, NA, NU, PB), f32),    # B
+        pltpu.VMEM((N + 1, NA, PB), f32),    # q0
+        pltpu.VMEM((N, NU, NA, PB), f32),    # K
+        pltpu.VMEM((N, NU, NU, PB), f32),    # Hiv
+        pltpu.VMEM((N, NU, NA, PB), f32),    # Hux
+        pltpu.VMEM((N, NU, PB), f32),        # d
+        pltpu.VMEM((N + 1, NC, PB), f32),    # v
+        pltpu.VMEM((N + 1, NC, PB), f32),    # s_prev
+        pltpu.VMEM((N + 1, NC, PB), f32),    # G
+        pltpu.VMEM((N + 1, NA, PB), f32),    # Xsol
+        pltpu.VMEM((N, NU, PB), f32),        # Usol
+    ]
+
+    xn, Xp, Up, s, lam, u0, stats = pl.pallas_call(
+        kernel,
+        grid=(Bp // PB,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*ins)
+
+    trim = lambda a: a[..., :B]
+    new_carry = MegaCarry(
+        x=trim(xn), X_pred=trim(Xp), U_pred=trim(Up), s=trim(s),
+        lam=trim(lam), u_prev=trim(u0), rho=trim(stats)[3],
+    )
+    return new_carry, trim(u0), trim(stats)[:4]

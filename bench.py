@@ -49,7 +49,7 @@ def main():
     from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    backend = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    backend = sys.argv[2] if len(sys.argv) > 2 else "mega"
     K = 10  # steps per timed dispatch
 
     p = VehicleParams()
@@ -62,6 +62,32 @@ def main():
     B = scen.batch
 
     def make_k_steps(scfg):
+        if scfg.backend == "mega":
+            # megastep: the ENTIRE receding-horizon step (schedule shift,
+            # curvature windows, LPV+Van Loan, Riccati, ADMM, fallback,
+            # plant sub-steps) is one Pallas launch; the carry lives
+            # batch-last across the scan (ops/megastep_kernel.py).
+            from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+                megastep,
+                megastep_params,
+            )
+
+            prm = megastep_params(scen.params, B)
+
+            @jax.jit
+            def k_steps(xs, carries):
+                del xs
+                def body(car_i, _):
+                    car2, _u0, diag = megastep(
+                        cfg, scfg, track, prm, x_ref, car_i, n_sub=4
+                    )
+                    return car2, jnp.mean(diag[2])
+
+                carries, convs = jax.lax.scan(body, carries, None, length=K)
+                return carries.x, carries, convs
+
+            return k_steps
+
         @jax.jit
         def k_steps(xs, carries):
             def body(c, _):
@@ -79,34 +105,46 @@ def main():
 
         return k_steps
 
-    carries = jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
-        scen.x0, scen.params
-    )
+    def make_carries(scfg):
+        if scfg.backend == "mega":
+            from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+                megastep_init,
+            )
+
+            return megastep_init(scen.params, cfg, track, scen.x0)
+        return jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
+            scen.x0, scen.params
+        )
+
     xs = scen.x0
 
     # rho_interval=0 + carried rho => exactly one Riccati factorization per
     # solve; 20 warm-started iterations hold >99% convergence in closed loop.
-    # backend="fused": the fully-fused assembly+solver VMEM kernel
-    # (ops/fused_kernel.py); "pallas": solver-only kernel; "xla": scans.
+    # backend="mega": whole step in one kernel (ops/megastep_kernel.py);
+    # "fused": fused assembly+solver kernel with XLA prepare/plant;
+    # "pallas": solver-only kernel; "xla": scans.
     scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
     log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
         f"backend={backend}")
 
-    # warmup: compile + reach warm-started steady state
+    # warmup: compile + reach warm-started steady state; fall back down the
+    # backend ladder if a kernel fails to compile on this stack
     t0 = time.perf_counter()
-    k_steps = make_k_steps(scfg)
-    try:
-        xs, carries, convs = k_steps(xs, carries)
-        jax.block_until_ready(xs)
-    except Exception as e:  # e.g. fused kernel fails to compile on this stack
-        if backend == "fused":
-            log(f"fused backend failed ({type(e).__name__}); falling back to pallas")
-            scfg = scfg.replace(backend="pallas")
-            k_steps = make_k_steps(scfg)
+    ladder = {"mega": "fused", "fused": "pallas"}
+    while True:
+        k_steps = make_k_steps(scfg)
+        carries = make_carries(scfg)
+        try:
             xs, carries, convs = k_steps(xs, carries)
             jax.block_until_ready(xs)
-        else:
-            raise
+            break
+        except Exception as e:
+            nxt = ladder.get(scfg.backend)
+            if nxt is None:
+                raise
+            log(f"{scfg.backend} backend failed ({type(e).__name__}); "
+                f"falling back to {nxt}")
+            scfg = scfg.replace(backend=nxt)
     log(f"compile+first {K} steps: {time.perf_counter()-t0:.1f}s "
         f"converged={float(convs.mean()):.3f}")
 

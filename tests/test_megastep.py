@@ -1,0 +1,144 @@
+"""Megastep kernel (whole receding-horizon step in one Pallas launch) vs
+the composed paths, interpret mode on CPU.
+
+The megastep must reproduce mpc_step_batched + plant_step exactly: same
+schedule shift, same curvature cells (window lookup vs table gather), same
+QP, same ADMM iterates, same fallback logic, same plant integration
+(SURVEY.md §3.1 hot-loop body).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+    MPCConfig,
+    SolverConfig,
+    VehicleParams,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+    constant_refs,
+    mpc_init,
+    mpc_step_batched,
+    plant_step,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.ops import fused_kernel as fk
+from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+    MegaCarry,
+    megastep,
+    megastep_init,
+    megastep_params,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+B = 4
+
+
+def _setup():
+    p = VehicleParams()
+    cfg = MPCConfig(N=8, model="dynamic")
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.6)
+    p_b = jax.tree.map(lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), p)
+    x0 = jnp.tile(
+        jnp.array([1.2, 0.0, 0.0, 0.0, 0.0, 0.05], jnp.float32)[None], (B, 1)
+    )
+    # spread scenarios: different s and e_y so curvature windows differ
+    x0 = x0.at[:, 4].set(jnp.array([0.3, 2.7, 6.1, 9.4]))
+    x0 = x0.at[:, 5].set(jnp.array([0.05, -0.1, 0.0, 0.12]))
+    return p, p_b, cfg, track, x_ref, x0
+
+
+def _composed_steps(p_b, cfg, scfg, track, x_ref, x0, n_steps, n_sub):
+    """Reference chain: batched MPC step + plant, batch-first."""
+    carry = jax.vmap(lambda pp, x: mpc_init(pp, cfg, track, x))(p_b, x0)
+    xs = x0
+    us, xs_hist = [], []
+    for _ in range(n_steps):
+        u_b, carry, diag = mpc_step_batched(
+            p_b, cfg, scfg, track, xs, x_ref, carry
+        )
+        xs = jax.vmap(
+            lambda pp, x, u: plant_step(pp, cfg, track, x, u, n_sub=n_sub)
+        )(p_b, xs, u_b)
+        us.append(u_b)
+        xs_hist.append(xs)
+    return jnp.stack(us), jnp.stack(xs_hist), carry
+
+
+def _mega_steps(p_b, cfg, scfg, track, x_ref, x0, n_steps, n_sub):
+    carry = megastep_init(p_b, cfg, track, x0)
+    prm = megastep_params(p_b, B)
+    us, xs_hist = [], []
+    for _ in range(n_steps):
+        carry, u0, _diag = megastep(
+            cfg, scfg, track, prm, x_ref, carry, n_sub=n_sub, interpret=True
+        )
+        us.append(jnp.moveaxis(u0, -1, 0))
+        xs_hist.append(jnp.moveaxis(carry.x, -1, 0))
+    return jnp.stack(us), jnp.stack(xs_hist), carry
+
+
+def test_megastep_matches_fused_composed():
+    """3 closed-loop steps: megastep == prepare+fused-solve+post+plant."""
+    p, p_b, cfg, track, x_ref, x0 = _setup()
+    scfg = SolverConfig(max_iter=15, rho_interval=0, backend="fused")
+
+    orig = fk.fused_mpc_solve
+    fk.fused_mpc_solve = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        u_ref, x_hist_ref, carry_ref = _composed_steps(
+            p_b, cfg, scfg, track, x_ref, x0, n_steps=3, n_sub=4
+        )
+    finally:
+        fk.fused_mpc_solve = orig
+
+    u_m, x_hist_m, carry_m = _mega_steps(
+        p_b, cfg, scfg, track, x_ref, x0, n_steps=3, n_sub=4
+    )
+
+    np.testing.assert_allclose(u_m, u_ref, atol=2e-4, rtol=0)
+    np.testing.assert_allclose(x_hist_m, x_hist_ref, atol=5e-4, rtol=0)
+    # carry parity (prediction + duals drive the NEXT step's QP)
+    np.testing.assert_allclose(
+        jnp.moveaxis(carry_m.X_pred, -1, 0), carry_ref.X_pred, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        jnp.moveaxis(carry_m.lam, -1, 0), carry_ref.lam, atol=5e-3
+    )
+    np.testing.assert_allclose(carry_m.rho, carry_ref.rho, rtol=1e-3)
+
+
+def test_megastep_matches_xla_step():
+    """One step vs the plain vmapped-XLA solver path (looser: different
+    reduction order, same algorithm)."""
+    p, p_b, cfg, track, x_ref, x0 = _setup()
+    scfg_x = SolverConfig(max_iter=15, rho_interval=0, backend="xla")
+    u_ref, x_hist_ref, _ = _composed_steps(
+        p_b, cfg, scfg_x, track, x_ref, x0, n_steps=1, n_sub=4
+    )
+    u_m, x_hist_m, _ = _mega_steps(
+        p_b, cfg, scfg_x, track, x_ref, x0, n_steps=1, n_sub=4
+    )
+    np.testing.assert_allclose(u_m, u_ref, atol=2e-3, rtol=0)
+    np.testing.assert_allclose(x_hist_m, x_hist_ref, atol=2e-3, rtol=0)
+
+
+def test_megastep_pacejka_and_mismatch():
+    """Pacejka-linearized LPV + plant-model mismatch flows through the
+    megastep (config-2 semantics) and stays on track for a few steps."""
+    p, p_b, cfg, track, x_ref, x0 = _setup()
+    cfg = cfg.replace(tire="pacejka")
+    scfg = SolverConfig(max_iter=15, rho_interval=0, backend="fused")
+
+    carry = megastep_init(p_b, cfg, track, x0)
+    prm = megastep_params(p_b, B)
+    for _ in range(3):
+        carry, u0, diag = megastep(
+            cfg, scfg, track, prm, x_ref, carry, n_sub=4,
+            sim_tire="pacejka", interpret=True,
+        )
+    assert bool(jnp.all(jnp.isfinite(carry.x)))
+    assert bool(jnp.all(jnp.abs(carry.x[5]) < 0.5))   # e_y within corridor
+    assert bool(jnp.all(diag[2] >= 0.0))
