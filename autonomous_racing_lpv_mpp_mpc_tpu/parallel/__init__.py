@@ -5,6 +5,7 @@ from .scenarios import (
     ScenarioBatch,
     make_scenario_grid,
     sharded_closed_loop,
+    sharded_mega_loop,
     sharded_solve_step,
     SweepMetrics,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "ScenarioBatch",
     "make_scenario_grid",
     "sharded_closed_loop",
+    "sharded_mega_loop",
     "sharded_solve_step",
     "SweepMetrics",
     "riccati_factor_horizon_sharded",

@@ -137,6 +137,70 @@ def sharded_closed_loop(
     return log, _finalize(metrics)
 
 
+def sharded_mega_loop(
+    mesh: Mesh,
+    scen: ScenarioBatch,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    x_ref,
+    T: int,
+    n_sub: int = 4,
+    sim_tire: Optional[str] = None,
+    interpret: bool = False,
+):
+    """Closed-loop sweep on the megastep kernel, sharded over the mesh.
+
+    BASELINE configs 4-5 on the fastest backend: each device runs its local
+    scenario shard through the single-launch megastep kernel
+    (ops/megastep_kernel.py) scanned over T steps — the Pallas kernel runs
+    *inside* ``shard_map`` (it is shard-local; no collective touches the
+    kernel), and only the SweepMetrics reduction crosses the mesh via psum.
+
+    Returns (X_log (B, T, nx) sharded over scenarios, SweepMetrics
+    replicated). ``interpret=True`` for CPU-mesh tests.
+    """
+    from ..ops.megastep_kernel import megastep, megastep_init, megastep_params
+
+    def shard_body(x0_l, params_l):
+        b_local = x0_l.shape[0]
+        carry0 = megastep_init(params_l, cfg, track, x0_l)
+        prm = megastep_params(params_l, b_local)
+
+        def body(c, _):
+            c2, _u0, diag = megastep(
+                cfg, scfg, track, prm, x_ref, c,
+                n_sub=n_sub, sim_tire=sim_tire, interpret=interpret,
+            )
+            return c2, (c2.x, diag[2])
+
+        _, (xs, conv) = jax.lax.scan(body, carry0, None, length=T)
+        X_log = jnp.moveaxis(xs, -1, 0)          # (b_local, T, nx)
+        ey_i = 5
+        s_i = 4
+        ey_rms = jnp.sqrt(jnp.mean(X_log[..., ey_i] ** 2, axis=-1))
+        local = SweepMetrics(
+            n_scenarios=jnp.asarray(b_local, jnp.float32),
+            ey_rms=jnp.sum(ey_rms),
+            converged_frac=jnp.sum(jnp.mean(conv, axis=0)),
+            mean_iters=jnp.asarray(
+                b_local * float(scfg.max_iter), jnp.float32
+            ),
+            mean_progress=jnp.sum(X_log[:, -1, s_i]),
+        )
+        return X_log, psum_tree(local, SCENARIO_AXIS)
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=(P(SCENARIO_AXIS), P()),
+        check_vma=False,
+    )
+    X_log, metrics = fn(scen.x0, scen.params)
+    return X_log, _finalize(metrics)
+
+
 def sharded_solve_step(
     mesh: Mesh,
     scen: ScenarioBatch,

@@ -125,6 +125,51 @@ def test_megastep_matches_xla_step():
     np.testing.assert_allclose(x_hist_m, x_hist_ref, atol=2e-3, rtol=0)
 
 
+def test_sharded_mega_loop_matches_unsharded():
+    """Megastep inside shard_map on the fake-8 CPU mesh == single-device
+    megastep scan (SURVEY.md §4.5 distributed-without-a-cluster; the Pallas
+    kernel is shard-local, only the metric psum crosses the mesh)."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel import (
+        make_mesh,
+        make_scenario_grid,
+        sharded_mega_loop,
+    )
+
+    p = VehicleParams()
+    cfg = MPCConfig(N=8, model="dynamic")
+    scfg = SolverConfig(max_iter=10, rho_interval=0)
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.5)
+    scen = make_scenario_grid(p, cfg, n_ey=8, n_mu=2, vx0=1.2)
+    mesh = make_mesh()
+    T = 3
+
+    X_log, metrics = sharded_mega_loop(
+        mesh, scen, cfg, scfg, track, x_ref, T, interpret=True
+    )
+    assert X_log.shape == (scen.batch, T, 6)
+    assert float(metrics.n_scenarios) == scen.batch
+    assert 0.0 <= float(metrics.converged_frac) <= 1.0
+
+    # unsharded reference: same megastep scan on the full batch
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+        megastep,
+        megastep_init,
+        megastep_params,
+    )
+
+    carry = megastep_init(scen.params, cfg, track, scen.x0)
+    prm = megastep_params(scen.params, scen.batch)
+    xs = []
+    for _ in range(T):
+        carry, _u0, _d = megastep(
+            cfg, scfg, track, prm, x_ref, carry, interpret=True
+        )
+        xs.append(jnp.moveaxis(carry.x, -1, 0))
+    X_ref_log = jnp.stack(xs, axis=1)               # (B, T, nx)
+    np.testing.assert_allclose(X_log, X_ref_log, atol=1e-5, rtol=0)
+
+
 def test_megastep_pacejka_and_mismatch():
     """Pacejka-linearized LPV + plant-model mismatch flows through the
     megastep (config-2 semantics) and stays on track for a few steps."""
