@@ -45,6 +45,9 @@ class OsqpRefSettings:
     rho_eq_scale: float = 1e3
     rho_min: float = 1e-6
     rho_max: float = 1e6
+    # OSQP infeasibility-certificate tolerances (eps_prim_inf / eps_dual_inf)
+    eps_pinf: float = 1e-4
+    eps_dinf: float = 1e-4
 
 
 @dataclasses.dataclass
@@ -57,6 +60,47 @@ class OsqpRefResult:
     r_dual: float
     converged: bool
     obj: float
+    # OSQP status certificates: delta-y proves primal infeasibility, delta-x
+    # proves dual infeasibility (unboundedness). None if not certified.
+    primal_infeasible: bool = False
+    dual_infeasible: bool = False
+    cert_dy: Optional[np.ndarray] = None
+    cert_dx: Optional[np.ndarray] = None
+
+
+def _primal_infeasibility_cert(A, l, u, dy, eps) -> bool:
+    """OSQP: dy certifies primal infeasibility iff
+    ||A' dy||_inf <= eps*||dy||_inf  and  u'[dy]_+ + l'[dy]_- <= -eps*||dy||_inf
+    (rows with infinite bounds cannot carry a certificate component of the
+    matching sign, which the support-function term enforces)."""
+    norm = np.abs(dy).max() if dy.size else 0.0
+    if norm < 1e-14:
+        return False
+    dyp = np.maximum(dy, 0.0)
+    dym = np.minimum(dy, 0.0)
+    # infinite bound with a nonzero matching component -> support = +inf
+    sup = 0.0
+    for b, d in ((u, dyp), (l, dym)):
+        inf_rows = ~np.isfinite(b)
+        if np.any(np.abs(d[inf_rows]) > eps * norm):
+            return False
+        sup += float(b[~inf_rows] @ d[~inf_rows])
+    return (np.abs(A.T @ dy).max() <= eps * norm) and (sup <= -eps * norm)
+
+
+def _dual_infeasibility_cert(P, q, A, l, u, dx, eps) -> bool:
+    """OSQP: dx certifies dual infeasibility (an unbounded ray) iff
+    ||P dx||_inf <= eps*||dx||_inf, q'dx <= -eps*||dx||_inf, and A dx stays
+    feasible along the ray (rows pushing past a finite bound disqualify)."""
+    norm = np.abs(dx).max()
+    if norm < 1e-14:
+        return False
+    if np.abs(P @ dx).max() > eps * norm or q @ dx > -eps * norm:
+        return False
+    Adx = A @ dx
+    bad_up = (Adx > eps * norm) & np.isfinite(u)
+    bad_lo = (Adx < -eps * norm) & np.isfinite(l)
+    return not (np.any(bad_up) or np.any(bad_lo))
 
 
 def _kkt_factor(P, A, sigma, rho_vec):
@@ -98,7 +142,10 @@ def osqp_ref_solve(
 
     r_prim = r_dual = np.inf
     it = 0
+    pinf = dinf = False
+    cert_dy = cert_dx = None
     for it in range(1, s.max_iter + 1):
+        x_prev, y_prev = x, y
         rhs = np.concatenate([s.sigma * x - q, z - y / rho_vec])
         sol = scipy.linalg.lu_solve(lu_piv, rhs)
         x_t, nu = sol[:n], sol[n:]
@@ -108,6 +155,16 @@ def osqp_ref_solve(
         z_new = np.clip(z_r + y / rho_vec, l, u)
         y = y + rho_vec * (z_r - z_new)
         z = z_new
+
+        # infeasibility certificates from the iterate deltas (OSQP §3.4)
+        dy = y - y_prev
+        dx = x - x_prev
+        if _primal_infeasibility_cert(A, l, u, dy, s.eps_pinf):
+            pinf, cert_dy = True, dy / max(np.abs(dy).max(), 1e-30)
+            break
+        if _dual_infeasibility_cert(P, q, A, l, u, dx, s.eps_dinf):
+            dinf, cert_dx = True, dx / max(np.abs(dx).max(), 1e-30)
+            break
 
         Ax = A @ x
         r_prim = np.abs(Ax - z).max() if m else 0.0
@@ -134,4 +191,6 @@ def osqp_ref_solve(
         np.abs(P @ x).max(), np.abs(q).max(), np.abs(A.T @ y).max()
     ))
     return OsqpRefResult(x=x, y=y, z=z, iters=it, r_prim=float(r_prim),
-                         r_dual=float(r_dual), converged=conv, obj=float(obj))
+                         r_dual=float(r_dual), converged=conv, obj=float(obj),
+                         primal_infeasible=pinf, dual_infeasible=dinf,
+                         cert_dy=cert_dy, cert_dx=cert_dx)

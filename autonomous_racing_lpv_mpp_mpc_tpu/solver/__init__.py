@@ -9,8 +9,24 @@ from .riccati import (
     lqr_solve,
 )
 from .admm import ADMMSolution, BoxQP, admm_solve, admm_solve_single, qp_objective
+from .polish import PolishResult, polish, stack_boxqp_jax
+from .scaling import (
+    RowScaling,
+    admm_solve_equilibrated,
+    ruiz_row_equilibrate,
+    unscale_duals,
+    unscale_solution,
+)
 
 __all__ = [
+    "PolishResult",
+    "polish",
+    "stack_boxqp_jax",
+    "RowScaling",
+    "admm_solve_equilibrated",
+    "ruiz_row_equilibrate",
+    "unscale_duals",
+    "unscale_solution",
     "LQRDynamics",
     "LQRCost",
     "RiccatiFactors",

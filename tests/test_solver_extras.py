@@ -1,0 +1,189 @@
+"""Solver completeness tests: Ruiz row equilibration, active-set polish,
+and OSQP infeasibility certificates (ROADMAP solver items)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import SolverConfig
+from autonomous_racing_lpv_mpp_mpc_tpu.oracle import (
+    OsqpRefSettings,
+    osqp_ref_solve,
+    stack_boxqp,
+    unstack_solution,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.solver import (
+    admm_solve,
+    admm_solve_equilibrated,
+    polish,
+    ruiz_row_equilibrate,
+    unscale_solution,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.solver.polish import (
+    kkt_residuals,
+    stack_boxqp_jax,
+)
+
+from test_solver import N, NU, NX, random_qp
+
+
+def badly_scaled_qp(seed=11, factor=300.0):
+    """random_qp with one constraint row blown up by `factor` (a
+    hard-constraint-heavy user QP with mixed row units)."""
+    qp = random_qp(seed)
+    return qp._replace(
+        Dx=qp.Dx.at[4].mul(factor),
+        Du=qp.Du.at[4].mul(factor),
+        lb=qp.lb.at[:, 4].mul(factor),
+        ub=qp.ub.at[:, 4].mul(factor),
+    )
+
+
+def test_ruiz_rows_unit_norm_and_bounds_consistent():
+    qp = badly_scaled_qp()
+    scaled, sc = ruiz_row_equilibrate(qp)
+    rn = np.maximum(
+        np.abs(np.asarray(scaled.Dx)).max(axis=1),
+        np.abs(np.asarray(scaled.Du)).max(axis=1),
+    )
+    np.testing.assert_allclose(rn, 1.0, rtol=1e-5)
+    # the scaled problem is the same constraint set: d*lb <= d*Dz <= d*ub
+    np.testing.assert_allclose(
+        np.asarray(scaled.lb), np.asarray(qp.lb) * np.asarray(sc.d), rtol=1e-6
+    )
+
+
+def test_equilibrated_solve_matches_oracle():
+    qp = badly_scaled_qp()
+    cfg = SolverConfig(max_iter=400, eps_abs=1e-6, eps_rel=1e-6, rho_interval=50)
+    sol = admm_solve_equilibrated(qp, cfg)
+    assert bool(sol.converged)
+    # ground truth: the f64 oracle on the equilibrated problem (the raw
+    # problem stalls the unpreconditioned oracle for tens of thousands of
+    # iterations — which is exactly why one equilibrates; verified the two
+    # oracles agree to 1e-5 once both converge)
+    scaled, _ = ruiz_row_equilibrate(qp)
+    P, q, Acon, l, u = stack_boxqp(scaled)
+    ref = osqp_ref_solve(P, q, Acon, l, u, OsqpRefSettings())
+    assert ref.converged
+    _, Ur = unstack_solution(scaled, ref.x)
+    np.testing.assert_allclose(np.asarray(sol.U), Ur, atol=3e-4)
+    # duals mapped back to original rows: stationarity must hold there
+    st = stack_boxqp_jax(qp)
+    z = jnp.concatenate([sol.X[1:].reshape(-1), sol.U.reshape(-1)])
+    y_box = sol.lam.reshape(-1)
+    r_d = np.abs(
+        np.asarray(st.P @ z + st.q)
+        + np.asarray(st.A[st.n_eq :].T @ y_box)
+        # equality duals unknown -> project out their range via lstsq
+        - np.asarray(st.A[: st.n_eq].T)
+        @ np.linalg.lstsq(
+            np.asarray(st.A[: st.n_eq].T),
+            np.asarray(st.P @ z + st.q + st.A[st.n_eq :].T @ y_box),
+            rcond=None,
+        )[0]
+    ).max()
+    assert r_d < 5e-3
+
+
+def test_equilibration_helps_badly_scaled_rows():
+    qp = badly_scaled_qp(factor=1000.0)
+    cfg = SolverConfig(max_iter=600, eps_abs=1e-5, eps_rel=1e-5, rho_interval=50)
+    plain = admm_solve(qp, cfg)
+    eq = admm_solve_equilibrated(qp, cfg)
+    assert bool(eq.converged)
+    # equilibration should not be slower, and usually is much faster
+    if bool(plain.converged):
+        assert int(eq.iters) <= int(plain.iters)
+
+
+def test_polish_recovers_tight_solution_from_loose_admm():
+    qp = random_qp(12)
+    loose = SolverConfig(max_iter=18, eps_abs=3e-3, eps_rel=3e-3, rho_interval=18)
+    sol = admm_solve(qp, loose)
+
+    pol = jax.jit(polish)(qp, sol)
+    assert bool(pol.improved)
+
+    P, q, Acon, l, u = stack_boxqp(qp)
+    ref = osqp_ref_solve(
+        P, q, Acon, l, u, OsqpRefSettings(eps_abs=1e-10, eps_rel=1e-10)
+    )
+    _, Ur = unstack_solution(qp, ref.x)
+    err_before = np.abs(np.asarray(sol.U) - Ur).max()
+    err_after = np.abs(np.asarray(pol.U) - Ur).max()
+    assert err_after < err_before
+    assert err_after < 1e-4
+    # polished iterate satisfies KKT to ~f32 precision
+    st = stack_boxqp_jax(qp)
+    assert float(pol.r_prim) < 1e-4
+    assert float(pol.r_dual) < 1e-3
+
+
+def test_polish_never_degrades():
+    """On an already-tight solve, polish keeps or improves the iterate."""
+    qp = random_qp(13)
+    tight = SolverConfig(max_iter=400, eps_abs=1e-6, eps_rel=1e-6, rho_interval=50)
+    sol = admm_solve(qp, tight)
+    st = stack_boxqp_jax(qp)
+    pol = polish(qp, sol)
+    z0 = jnp.concatenate([sol.X[1:].reshape(-1), sol.U.reshape(-1)])
+    z1 = jnp.concatenate([pol.X[1:].reshape(-1), pol.U.reshape(-1)])
+    # primal feasibility never gets worse
+    rp0, _ = kkt_residuals(st, z0, jnp.zeros((st.A.shape[0],), jnp.float32))
+    rp1, _ = kkt_residuals(st, z1, jnp.zeros((st.A.shape[0],), jnp.float32))
+    assert float(rp1) <= float(rp0) + 1e-5
+
+
+def test_polish_vmaps():
+    qps = [random_qp(s) for s in (14, 15, 16)]
+    qp_b = jax.tree.map(lambda *a: jnp.stack(a), *qps)
+    cfg = SolverConfig(max_iter=80, eps_abs=1e-3, eps_rel=1e-3, rho_interval=20)
+    sols = jax.vmap(lambda q: admm_solve(q, cfg))(qp_b)
+    pols = jax.jit(jax.vmap(polish))(qp_b, sols)
+    for i, qp in enumerate(qps):
+        one = polish(qp, jax.tree.map(lambda a: a[i], sols))
+        np.testing.assert_allclose(
+            np.asarray(pols.U[i]), np.asarray(one.U), atol=1e-5
+        )
+
+
+def test_oracle_primal_infeasibility_certificate():
+    qp = random_qp(17)
+    P, q, Acon, l, u = stack_boxqp(qp)
+    # contradictory pair: duplicate one inequality row with disjoint interval
+    row = Acon[-1:]
+    Acon2 = np.vstack([Acon, row])
+    l2 = np.concatenate([l, [l[-1] + 10.0]])
+    u2 = np.concatenate([u, [u[-1] + 10.0]])
+    assert l2[-1] > u[-1]
+    res = osqp_ref_solve(P, q, Acon2, l2, u2, OsqpRefSettings(max_iter=4000))
+    assert res.primal_infeasible
+    assert not res.converged
+    # the certificate delta-y satisfies the Farkas conditions
+    dy = res.cert_dy
+    assert np.abs(Acon2.T @ dy).max() <= 1e-3
+    sup = u2[np.isfinite(u2)] @ np.maximum(dy, 0)[np.isfinite(u2)] + l2[
+        np.isfinite(l2)
+    ] @ np.minimum(dy, 0)[np.isfinite(l2)]
+    assert sup < 0
+
+
+def test_oracle_dual_infeasibility_certificate():
+    # min -x s.t. x >= 0  (unbounded above): P=0, q=[-1], one row, u=+inf
+    P = np.zeros((1, 1))
+    q = np.array([-1.0])
+    A = np.eye(1)
+    l = np.array([0.0])
+    u = np.array([np.inf])
+    res = osqp_ref_solve(P, q, A, l, u, OsqpRefSettings(max_iter=2000))
+    assert res.dual_infeasible
+    assert not res.converged
+
+
+def test_oracle_feasible_qp_has_no_certificates():
+    qp = random_qp(18)
+    P, q, Acon, l, u = stack_boxqp(qp)
+    res = osqp_ref_solve(P, q, Acon, l, u, OsqpRefSettings())
+    assert res.converged
+    assert not res.primal_infeasible and not res.dual_infeasible
