@@ -9,6 +9,7 @@ from .mpc import (
 )
 from .closed_loop import ClosedLoopLog, ClosedLoopLogPred, closed_loop, plant_step
 from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
+from .mhe import MHEConfig, MHEState, mhe_init, mhe_solve, mhe_step
 from .global_loop import GlobalLog, closed_loop_global, f_global, global_plant_step
 
 __all__ = [
@@ -28,6 +29,11 @@ __all__ = [
     "ekf_step",
     "noisy_measurement",
     "passthrough",
+    "MHEConfig",
+    "MHEState",
+    "mhe_init",
+    "mhe_solve",
+    "mhe_step",
     "GlobalLog",
     "closed_loop_global",
     "f_global",
