@@ -146,6 +146,16 @@ def mhe_step(
     approximation; P0 held fixed as a tuning matrix). Fully jittable —
     run it inside ``lax.scan`` for whole-lap estimation.
     """
+    # unwrap any measured arc-length components against the window so a
+    # start/finish-line crossing (wrapped s jumping by ~-L) cannot corrupt
+    # the whole window: rows of H that read s (state index s_idx) identify
+    # which measurement components carry s.
+    s_idx = 4 if cfg.model == "dynamic" else 2
+    measures_s = jnp.abs(H[:, s_idx]) > 0.5          # (m,) static-shape mask
+    ref = st.z_hist[-1]
+    L = track.length
+    z_un = z + L * jnp.round((ref - z) / L)
+    z = jnp.where(measures_s, z_un, z)
     z_hist = jnp.roll(st.z_hist, -1, axis=0).at[-1].set(z)
     u_hist = jnp.roll(st.u_hist, -1, axis=0).at[-1].set(u)
     x_prior = st.X_est[1]

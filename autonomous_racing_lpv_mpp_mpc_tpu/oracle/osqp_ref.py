@@ -48,6 +48,11 @@ class OsqpRefSettings:
     # OSQP infeasibility-certificate tolerances (eps_prim_inf / eps_dual_inf)
     eps_pinf: float = 1e-4
     eps_dinf: float = 1e-4
+    # certificates are evaluated only every `check_interval` iterations and
+    # must hold on two consecutive checks (OSQP checks at check_termination
+    # cadence; raw one-step deltas on early transients can spuriously
+    # certify marginally feasible problems)
+    check_interval: int = 25
 
 
 @dataclasses.dataclass
@@ -143,6 +148,7 @@ def osqp_ref_solve(
     r_prim = r_dual = np.inf
     it = 0
     pinf = dinf = False
+    pinf_pending = dinf_pending = False
     cert_dy = cert_dx = None
     for it in range(1, s.max_iter + 1):
         x_prev, y_prev = x, y
@@ -156,15 +162,26 @@ def osqp_ref_solve(
         y = y + rho_vec * (z_r - z_new)
         z = z_new
 
-        # infeasibility certificates from the iterate deltas (OSQP §3.4)
-        dy = y - y_prev
-        dx = x - x_prev
-        if _primal_infeasibility_cert(A, l, u, dy, s.eps_pinf):
-            pinf, cert_dy = True, dy / max(np.abs(dy).max(), 1e-30)
-            break
-        if _dual_infeasibility_cert(P, q, A, l, u, dx, s.eps_dinf):
-            dinf, cert_dx = True, dx / max(np.abs(dx).max(), 1e-30)
-            break
+        # infeasibility certificates from the iterate deltas (OSQP §3.4),
+        # evaluated at check_interval cadence and required to hold on two
+        # consecutive checks
+        if it % s.check_interval == 0:
+            dy = y - y_prev
+            dx = x - x_prev
+            if _primal_infeasibility_cert(A, l, u, dy, s.eps_pinf):
+                if pinf_pending:
+                    pinf, cert_dy = True, dy / max(np.abs(dy).max(), 1e-30)
+                    break
+                pinf_pending = True
+            else:
+                pinf_pending = False
+            if _dual_infeasibility_cert(P, q, A, l, u, dx, s.eps_dinf):
+                if dinf_pending:
+                    dinf, cert_dx = True, dx / max(np.abs(dx).max(), 1e-30)
+                    break
+                dinf_pending = True
+            else:
+                dinf_pending = False
 
         Ax = A @ x
         r_prim = np.abs(Ax - z).max() if m else 0.0

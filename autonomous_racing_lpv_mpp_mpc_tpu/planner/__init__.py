@@ -9,6 +9,7 @@ from .opponents import (
     opponent_s_at,
     opponents,
     opponents_obstacle_fn,
+    pad_blocks,
     sweep_blocks,
 )
 
@@ -17,6 +18,7 @@ __all__ = [
     "opponents",
     "opponent_s_at",
     "opponents_obstacle_fn",
+    "pad_blocks",
     "sweep_blocks",
     "min_gap_trace",
     "collision_trace",

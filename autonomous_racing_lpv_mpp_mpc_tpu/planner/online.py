@@ -37,10 +37,11 @@ def _track_segment(p, cfg, scfg, track, T_seg, sim_tire):
     from ..loop.mpc import mpc_step
 
     @jax.jit
-    def run(x0, carry, table: RefTable):
+    def run(x0, carry, table: RefTable, obstacles=None):
         def step(c, _):
             x, mc = c
-            u, mc, diag = mpc_step(p, cfg, scfg, track, x, table, mc)
+            u, mc, diag = mpc_step(p, cfg, scfg, track, x, table, mc,
+                                   obstacles=obstacles)
             x_next = plant_step(p, cfg, track, x, u, n_sub=10, sim_tire=sim_tire)
             out = (x_next, u, diag.converged, diag.iters, diag.r_prim, diag.r_dual)
             return (x_next, mc), out
@@ -63,13 +64,20 @@ def replanning_loop(
     obstacles_fn: Optional[Callable[[int], Optional[jnp.ndarray]]] = None,
     sim_tire: Optional[str] = None,
     plan_scfg: Optional[SolverConfig] = None,
+    max_obstacle_rows: int = 8,
 ) -> ReplanLog:
     """Run T tracker steps, re-planning every ``replan_every`` steps.
 
     ``obstacles_fn(step)`` returns the (n_obs, 4) obstacle array visible at
-    that time (or None) — obstacles may appear/move between replans.
+    that time (or None) — obstacles may appear/move between replans. The
+    blocks are fed BOTH to the planner (corridor-shifted reference) and to
+    the tracker QP (per-stage e_y corridor, engine/assembly.py::
+    tracker_bounds) so avoidance holds even when the tracker lags the
+    planned line. Blocks are padded to ``max_obstacle_rows`` so the jitted
+    segment/planner never retrace as corridors move.
     """
     from ..loop.mpc import mpc_init
+    from .opponents import pad_blocks
 
     assert cfg.model == pcfg.model == "dynamic"
     segment = _track_segment(p, cfg, scfg, track, replan_every, sim_tire)
@@ -81,12 +89,14 @@ def replanning_loop(
     t = 0
     while t < T:
         obs = obstacles_fn(t) if obstacles_fn is not None else None
+        if obs is not None:
+            obs = jnp.asarray(pad_blocks(obs, max_obstacle_rows))
         table, diag = plan_mpp(
             p, pcfg, track, scfg=plan_scfg, obstacles=obs, x0_state=x
         )
         replan_steps.append(t)
         spans.append(float(diag.progress))
-        x, carry, log = segment(x, carry, table)
+        x, carry, log = segment(x, carry, table, obs)
         logs.append(log)
         t += replan_every
 

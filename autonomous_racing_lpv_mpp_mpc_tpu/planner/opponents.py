@@ -48,22 +48,34 @@ def sweep_blocks(
     car_length: float = 0.4,
     car_width: float = 0.2,
     pad: float = 0.05,
+    ego_length: float = 0.0,
+    ego_width: float = 0.0,
 ) -> np.ndarray:
     """(m, 4) [s_lo, s_hi, ey_lo, ey_hi] corridor blocks covering each
-    opponent's swept footprint over [t0, t1] (wrap-split, hence m >= n)."""
+    opponent's swept footprint over [t0, t1] (wrap-split, hence m >= n).
+
+    ``ego_length``/``ego_width`` Minkowski-inflate the blocks by the EGO's
+    half-dimensions so the block is a keep-out region for the ego's CENTER
+    (two rectangles overlap iff center distance < sum of half-dims; a block
+    inflated only by the opponent body under-protects by the ego half)."""
     L = float(track.length)
     s_a = np.asarray(opponent_s_at(track, opp, t0_s))
     ds = np.asarray(opp.v) * max(0.0, t1_s - t0_s)
     ey = np.asarray(opp.e_y)
-    half_l = car_length / 2 + pad
-    half_w = car_width / 2 + pad
+    half_l = (car_length + ego_length) / 2 + pad
+    half_w = (car_width + ego_width) / 2 + pad
 
     rows = []
     for i in range(s_a.shape[0]):
-        lo = (s_a[i] - half_l) % L
-        hi = (s_a[i] + ds[i] + half_l) % L
+        # endpoint-ordered sweep so a reversing opponent (v < 0, ds < 0)
+        # still blocks its ACTUAL swept arc rather than the complement
+        s_end = s_a[i] + ds[i]
+        lo_un = min(s_a[i], s_end) - half_l
+        hi_un = max(s_a[i], s_end) + half_l
+        lo = lo_un % L
+        hi = hi_un % L
         band = (ey[i] - half_w, ey[i] + half_w)
-        if (s_a[i] + ds[i] + half_l) - (s_a[i] - half_l) >= L:
+        if hi_un - lo_un >= L:
             rows.append((0.0, L, *band))        # sweep covers the whole lap
         elif lo <= hi:
             rows.append((lo, hi, *band))
@@ -71,6 +83,26 @@ def sweep_blocks(
             rows.append((lo, L, *band))
             rows.append((0.0, hi, *band))
     return np.asarray(rows, dtype=np.float32).reshape(-1, 4)
+
+
+# padding row that can never contain a wrapped arc length: s0 > s1 makes the
+# interval test (sm >= s0) & (sm <= s1) identically false.
+DUMMY_BLOCK = (1.0, 0.0, 0.0, 0.0)
+
+
+def pad_blocks(blocks, n_rows: int) -> np.ndarray:
+    """Pad (m, 4) corridor blocks to a FIXED (n_rows, 4) shape with inert
+    dummy rows, so jitted consumers (tracker segment, planner SQP pass)
+    keep a stable trace as obstacles move/appear between replans."""
+    out = np.tile(np.asarray(DUMMY_BLOCK, np.float32), (n_rows, 1))
+    if blocks is not None:
+        b = np.asarray(blocks, np.float32).reshape(-1, 4)
+        if b.shape[0] > n_rows:
+            raise ValueError(
+                f"{b.shape[0]} obstacle blocks exceed max_obstacle_rows={n_rows}"
+            )
+        out[: b.shape[0]] = b
+    return out
 
 
 def opponents_obstacle_fn(
@@ -82,17 +114,22 @@ def opponents_obstacle_fn(
     car_width: float = 0.2,
     pad: float = 0.05,
     t_lead: float = 0.3,
+    ego_length: float = 0.3,
+    ego_width: float = 0.15,
 ) -> Callable[[int], Optional[jnp.ndarray]]:
     """obstacles_fn(step) for ``replanning_loop``: at tracker step t, the
     blocks sweep each opponent from now until the next replan (plus
     ``t_lead`` seconds of slack — the tracker needs the lateral maneuver to
     be underway BEFORE the planner's corridor requires clearance, since it
-    follows the planned line with lag, not exactly)."""
+    follows the planned line with lag, not exactly). Blocks are inflated by
+    the ego half-dimensions (see ``sweep_blocks``) so they bound the ego
+    CENTER, matching ``collision_trace``'s rectangle-overlap predicate."""
 
     def fn(step: int) -> Optional[jnp.ndarray]:
         t0 = step * dt
         t1 = (step + replan_every) * dt + t_lead
-        blocks = sweep_blocks(track, opp, t0, t1, car_length, car_width, pad)
+        blocks = sweep_blocks(track, opp, t0, t1, car_length, car_width,
+                              pad, ego_length, ego_width)
         return jnp.asarray(blocks) if blocks.size else None
 
     return fn

@@ -55,7 +55,7 @@ def test_overtake_slow_opponent_without_collision():
     off the opponent's line."""
     track = oval_track()
     cfg = MPCConfig(N=16, model="dynamic")
-    scfg = SolverConfig(max_iter=80, rho_interval=0)
+    scfg = SolverConfig(max_iter=80, rho_interval=20)
     pcfg = MPPConfig(H=192, n_sqp=2)
     x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
     dt = cfg.dt
@@ -63,7 +63,7 @@ def test_overtake_slow_opponent_without_collision():
 
     opp = opponents(s0=[2.5], e_y=[0.0], v=[0.55])
     obs_fn = opponents_obstacle_fn(
-        track, opp, dt, replan_every, car_length=0.3, car_width=0.15, pad=0.12
+        track, opp, dt, replan_every, car_length=0.3, car_width=0.15, pad=0.05
     )
     res = replanning_loop(P, cfg, scfg, pcfg, track, x0, T=210,
                           replan_every=replan_every, obstacles_fn=obs_fn)
@@ -88,3 +88,34 @@ def test_overtake_slow_opponent_without_collision():
     gaps = np.asarray(min_gap_trace(track, opp, jnp.asarray(X), dt))
     i = int(gaps.argmin())
     assert abs(X[i, 5] - 0.0) > 0.15
+
+
+def test_overtake_two_opponents_through_corner():
+    """Harder variant: two slow opponents, one on the racing line through the
+    first corner (where holding the inside line would saturate steering —
+    the corridor side choice must send the ego around the OUTSIDE) and one
+    offset on the back straight. No collision over the whole run."""
+    track = oval_track()
+    cfg = MPCConfig(N=16, model="dynamic")
+    scfg = SolverConfig(max_iter=80, rho_interval=20)
+    pcfg = MPPConfig(H=192, n_sqp=2)
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    dt = cfg.dt
+    replan_every = 30
+
+    opp = opponents(s0=[2.8, 6.5], e_y=[0.0, 0.15], v=[0.5, 0.6])
+    obs_fn = opponents_obstacle_fn(
+        track, opp, dt, replan_every, car_length=0.3, car_width=0.15, pad=0.05
+    )
+    res = replanning_loop(P, cfg, scfg, pcfg, track, x0, T=240,
+                          replan_every=replan_every, obstacles_fn=obs_fn)
+    X = np.asarray(res.log.X)
+
+    # both opponents passed
+    T = X.shape[0]
+    for s0, v in ((2.8, 0.5), (6.5, 0.6)):
+        rel = X[:, 4] - (s0 + v * dt * np.arange(T))
+        assert rel[0] < 0 and rel[-1] > 0.3
+
+    hits = np.asarray(collision_trace(track, opp, jnp.asarray(X), dt))
+    assert not hits.any()
