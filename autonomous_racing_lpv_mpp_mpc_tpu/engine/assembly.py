@@ -145,10 +145,91 @@ def scheduled_stages(p, cfg, track, X_sched, U_sched):
     return jax.vmap(stage)(X_sched[:N], U_sched, kappas)
 
 
-def tracker_bounds(p: VehicleParams, cfg: MPCConfig, track: Track, X_sched):
+def block_curvatures(track: Track, blocks, n_samples: int = 8):
+    """(n_obs,) signed curvature of the sharpest point in each block's CORE
+    (inner 60%, sampled); used by :func:`corridor_from_blocks` for the side
+    choice.
+
+    Only the core is sampled because blocks are Minkowski-inflated well
+    beyond the obstacle (body + ego body + pad + sweep lead): a padded tail
+    poking into the next corner must not veto a side that is perfectly
+    usable where the ego is actually alongside the obstacle — a mid-pass
+    side flip between replans steers the ego straight through the obstacle
+    band."""
+    from ..track.track import curvature_at
+
+    t = jnp.linspace(0.2, 0.8, n_samples)
+    s_samp = blocks[:, 0:1] + t[None, :] * (blocks[:, 1:2] - blocks[:, 0:1])
+    kap = curvature_at(track, s_samp)                  # (n_obs, n_samples)
+    j = jnp.argmax(jnp.abs(kap), axis=1)
+    return jnp.take_along_axis(kap, j[:, None], axis=1)[:, 0]
+
+
+def steerable_curvature(p: VehicleParams, delta_max, headroom: float = 0.97):
+    """Maximum path curvature the car can hold, with a small headroom.
+
+    Used only for the corridor SIDE choice (corridor_from_blocks): a side is
+    ruled out when holding a line there would saturate steering outright.
+    The headroom is deliberately small — a large one would rule out lines
+    the car can in fact hold (tested: e_y = 0.1 inside a kappa = 1 corner at
+    delta_max = 0.3, wheelbase 0.25 is fine; e_y = 0.195 is not)."""
+    return headroom * jnp.tan(delta_max) / (p.lf + p.lr)
+
+
+def corridor_from_blocks(sm, ey_lo, ey_hi, blocks, margin, half,
+                         kappa_blk=None, kappa_cap=None):
+    """Tighten a per-stage lateral corridor around obstacle blocks.
+
+    ``blocks`` is (n_obs, 4) rows ``[s0, s1, ey_blk_lo, ey_blk_hi]`` in
+    wrapped arc length (reference RAS-2020 behavior: obstacle-aware corridor
+    shifting, SURVEY.md §2 "MPP planner"). For each stage whose (wrapped)
+    scheduled ``sm`` lies inside a block, the corridor is moved to one side
+    of the obstacle. Dummy/padding rows with ``s0 > s1`` never match
+    (see planner/opponents.py::pad_blocks). Shared by the planner QP and the
+    obstacle-aware tracker bounds so both pick the SAME side.
+
+    Side choice: widest USABLE side. With ``kappa_blk`` (signed curvature at
+    the sharpest point of each block) and ``kappa_cap`` (max steerable path
+    curvature, :func:`steerable_curvature`), the inside of a corner is only
+    usable out to the offset where the path curvature kappa/(1 - kappa*ey)
+    stays steerable — in a tight corner the feasible pass is on the OUTSIDE
+    even when the inside gap is geometrically wider (holding the inside line
+    would saturate steering and the car would understeer into the obstacle).
+    """
+    for i in range(blocks.shape[0]):
+        o_s0, o_s1, o_lo, o_hi = (blocks[i, j] for j in range(4))
+        inside = jnp.logical_and(sm >= o_s0, sm <= o_s1)
+        up_lim = half
+        dn_lim = half
+        if kappa_blk is not None:
+            k = kappa_blk[i]
+            ak = jnp.maximum(jnp.abs(k), 1e-6)
+            # inside-of-corner offset limit: 1 - |k|*ey >= |k|/kappa_cap
+            ey_in = jnp.clip((1.0 - ak / kappa_cap) / ak, -half, half)
+            up_lim = jnp.where(k > 1e-3, jnp.minimum(half, ey_in), half)
+            dn_lim = jnp.where(k < -1e-3, jnp.minimum(half, ey_in), half)
+        up_w = up_lim - (o_hi + margin)   # usable width above the obstacle
+        dn_w = (o_lo - margin) + dn_lim   # usable width below
+        go_up = up_w >= dn_w
+        new_lo = jnp.where(go_up, o_hi + margin, -half)
+        new_hi = jnp.where(go_up, half, o_lo - margin)
+        ey_lo = jnp.where(inside, jnp.maximum(ey_lo, new_lo), ey_lo)
+        ey_hi = jnp.where(inside, jnp.minimum(ey_hi, new_hi), ey_hi)
+    return ey_lo, ey_hi
+
+
+def tracker_bounds(p: VehicleParams, cfg: MPCConfig, track: Track, X_sched,
+                   obstacles=None, obs_margin: float = 0.0):
     """(N+1, N_CON) stage bounds for the tracker QP: standard boxes +
     per-stage friction-circle vx caps; stage-0 state rows and terminal
-    input/rate rows disabled."""
+    input/rate rows disabled.
+
+    ``obstacles`` ((n_obs, 4) corridor blocks, same format the planner
+    consumes) makes the TRACKER itself obstacle-aware: the e_y corridor row
+    is tightened at every stage whose scheduled s falls inside a block, so
+    collision avoidance is enforced at tracker rate (30 Hz, soft e_y row)
+    and does not rely on the tracker following the planned line without lag.
+    """
     N = X_sched.shape[0] - 1
     f32 = X_sched.dtype
     b = cfg.bounds
@@ -168,6 +249,18 @@ def tracker_bounds(p: VehicleParams, cfg: MPCConfig, track: Track, X_sched):
             p, track, X_sched[:, s_idx], b.vx_min, b.vx_max, cfg.a_lat_frac
         )
         ub = ub.at[:, 0].set(v_cap)
+    if obstacles is not None:
+        from ..track.track import wrap_s
+
+        s_idx = _s_index(cfg.model)
+        sm = wrap_s(track, X_sched[:, s_idx])
+        ey_lo, ey_hi = corridor_from_blocks(
+            sm, lb[:, 1], ub[:, 1], obstacles, obs_margin, b.ey_max,
+            kappa_blk=block_curvatures(track, obstacles),
+            kappa_cap=steerable_curvature(p, b.delta_max),
+        )
+        lb = lb.at[:, 1].set(ey_lo)
+        ub = ub.at[:, 1].set(ey_hi)
     inf = jnp.asarray(jnp.inf, f32)
     # stage 0: state rows are constants (x0 fixed) -> disabled
     lb = lb.at[0, :2].set(-inf)
@@ -189,6 +282,7 @@ def build_boxqp(
     x_ref: jnp.ndarray,       # (N+1, nx) tracking reference
     stages=None,              # optional precomputed (Ad, Bd, cd) — e.g. from
                               # the horizon-sharded evaluation (parallel/)
+    obstacles=None,           # optional (n_obs, 4) corridor blocks
 ) -> BoxQP:
     """Assemble the block-structured MPC QP on the augmented state."""
     N = cfg.N
@@ -231,7 +325,7 @@ def build_boxqp(
     # --- constraint rows ---
     b = cfg.bounds
     Dx, Du = constraint_rows(cfg.model, f32)
-    lb, ub = tracker_bounds(p, cfg, track, X_sched)
+    lb, ub = tracker_bounds(p, cfg, track, X_sched, obstacles=obstacles)
     # clamp the vx reference to the per-stage friction cap: a reference
     # pinned above a binding hard bound makes ADMM grind (active-set
     # tug-of-war); clamping restores ~10-iteration convergence on low mu

@@ -39,7 +39,7 @@ from .admm_kernel import (
     _mv,
     _stack_g,
 )
-from .stage_math import stage_aug_ab, unpack_params
+from .stage_math import model_dims, stage_aug_ab, unpack_params
 
 NX, NU, NA, NC = 6, 2, 8, 6
 
@@ -82,7 +82,7 @@ def _fused_kernel(
     sprev_s,     # (N+1, NC, B)
     G_s,         # (N+1, NC, B)
     *, N: int, dt: float, max_iter: int, sigma: float, alpha: float,
-    tire: str, squarings: int = 4, order: int = 6,
+    tire: str, squarings: int = 4, order: int = 6, model: str = "dynamic",
 ):
     pv = unpack_params(prm_ref)
     rho = rho_ref[0]
@@ -111,7 +111,7 @@ def _fused_kernel(
         Aa, Ba = stage_aug_ab(
             xs_ref[k], us_ref[k], kap_ref[k], pv,
             I8v, I2_ref[...], Sel_ref[...],
-            dt=dt, tire=tire, squarings=squarings, order=order,
+            dt=dt, tire=tire, squarings=squarings, order=order, model=model,
         )
         A_s[k] = Aa
         B_s[k] = Ba
@@ -221,38 +221,49 @@ def _fused_kernel(
 def _make_consts(cfg: MPCConfig, scfg: SolverConfig):
     """Static constant operands shared by the fused kernels: constraint
     rows, soft weights, folded cost blocks, identities, the Van Loan column
-    selector. (Pallas requires captured constants as operands.)"""
+    selector. (Pallas requires captured constants as operands.) Model-aware:
+    dims and the e_y row index follow cfg.model (engine/assembly.py::
+    constraint_rows semantics)."""
+    from .stage_math import model_dims, model_s_ey
+
     w = cfg.weights
     sigma = float(scfg.sigma)
-    Dx_np = np.zeros((NC, NA), np.float32)
+    nx, na = model_dims(cfg.model)
+    _, ey_i = model_s_ey(cfg.model)
+    Dx_np = np.zeros((NC, na), np.float32)
     Du_np = np.zeros((NC, NU), np.float32)
     Dx_np[0, 0] = 1.0
-    Dx_np[1, 5] = 1.0
+    Dx_np[1, ey_i] = 1.0
     Du_np[2, 0] = 1.0
     Du_np[3, 1] = 1.0
-    Dx_np[4, 6] = -1.0
+    Dx_np[4, nx] = -1.0
     Du_np[4, 0] = 1.0
-    Dx_np[5, 7] = -1.0
+    Dx_np[5, nx + 1] = -1.0
     Du_np[5, 1] = 1.0
     soft_np = np.full((NC, 1), np.inf, np.float32)
     soft_np[1, 0] = float(cfg.bounds.ey_soft)
     q_w = np.asarray(w.q, np.float32)
+    if q_w.shape[0] != nx:
+        raise ValueError(
+            f"MPCWeights.q has {q_w.shape[0]} entries but model "
+            f"{cfg.model!r} has {nx} states; use MPCWeights.for_model"
+        )
     r_w = np.asarray(w.r, np.float32)
     dr_w = np.asarray(w.dr, np.float32)
     qdiag = np.concatenate([q_w, dr_w])
-    Qc = np.diag(qdiag) + sigma * np.eye(NA, dtype=np.float32)
+    Qc = np.diag(qdiag) + sigma * np.eye(na, dtype=np.float32)
     Qtc = np.diag(np.concatenate([q_w, np.zeros(NU, np.float32)])) \
-        + sigma * np.eye(NA, dtype=np.float32)
+        + sigma * np.eye(na, dtype=np.float32)
     Rc = np.diag(r_w + dr_w) + sigma * np.eye(NU, dtype=np.float32)
-    Mc = np.zeros((NA, NU), np.float32)
-    Mc[NX:, :] = -np.diag(dr_w)
-    Sel = np.zeros((NA, NU), np.float32)
-    Sel[NX, 0] = 1.0
-    Sel[NX + 1, 1] = 1.0
+    Mc = np.zeros((na, NU), np.float32)
+    Mc[nx:, :] = -np.diag(dr_w)
+    Sel = np.zeros((na, NU), np.float32)
+    Sel[nx, 0] = 1.0
+    Sel[nx + 1, 1] = 1.0
     return tuple(jnp.asarray(a) for a in (
         Dx_np, Du_np, soft_np, Qc, Qtc, Rc, Mc,
         Dx_np.T @ Dx_np, Du_np.T @ Du_np, Dx_np.T @ Du_np,
-        q_w[:, None], np.eye(NA, dtype=np.float32),
+        q_w[:, None], np.eye(na, dtype=np.float32),
         np.eye(NU, dtype=np.float32), Sel,
     ))
 
@@ -274,8 +285,10 @@ def fused_mpc_solve(
     interpret: bool = False,
 ) -> ADMMSolution:
     """Host wrapper: transpose the small inputs batch-last, launch the fused
-    kernel, adapt rho once per solve on the way out."""
-    assert cfg.model == "dynamic" and cfg.linearization == "lpv"
+    kernel, adapt rho once per solve on the way out. Supports both the
+    dynamic (nx=6) and kinematic (nx=4, BASELINE config 1) models."""
+    assert cfg.linearization == "lpv"
+    nx, na = model_dims(cfg.model)
     B = x0a.shape[0]
     N = cfg.N
     f32 = jnp.float32
@@ -316,10 +329,11 @@ def fused_mpc_solve(
         _fused_kernel,
         N=N, dt=float(cfg.dt), max_iter=scfg.max_iter,
         sigma=sigma, alpha=float(scfg.alpha), tire=cfg.tire,
+        model=cfg.model,
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((N + 1, NA, Bp), f32),
+        jax.ShapeDtypeStruct((N + 1, na, Bp), f32),
         jax.ShapeDtypeStruct((N, NU, Bp), f32),
         jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),
         jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),
@@ -345,12 +359,12 @@ def fused_mpc_solve(
     ]
     out_specs = tuple(bspec(s.shape) for s in out_shapes)
     scratch = [
-        pltpu.VMEM((N, NA, NA, PB), f32),    # A_s
-        pltpu.VMEM((N, NA, NU, PB), f32),    # B_s
-        pltpu.VMEM((N + 1, NA, PB), f32),    # q0_s
-        pltpu.VMEM((N, NU, NA, PB), f32),    # K
+        pltpu.VMEM((N, na, na, PB), f32),    # A_s
+        pltpu.VMEM((N, na, NU, PB), f32),    # B_s
+        pltpu.VMEM((N + 1, na, PB), f32),    # q0_s
+        pltpu.VMEM((N, NU, na, PB), f32),    # K
         pltpu.VMEM((N, NU, NU, PB), f32),    # Hiv
-        pltpu.VMEM((N, NU, NA, PB), f32),    # Hux
+        pltpu.VMEM((N, NU, na, PB), f32),    # Hux
         pltpu.VMEM((N, NU, PB), f32),        # d
         pltpu.VMEM((N + 1, NC, PB), f32),    # v
         pltpu.VMEM((N + 1, NC, PB), f32),    # s_prev

@@ -57,12 +57,12 @@ from .admm_kernel import (
 )
 from .fused_kernel import _make_consts
 from .stage_math import (
-    NA,
     NC,
     NU,
-    NX,
     atan_bl,
-    f_dynamic_bl,
+    f_model_bl,
+    model_dims,
+    model_s_ey,
     stage_aug_ab,
     unpack_params,
 )
@@ -124,9 +124,11 @@ def _megastep_kernel(
     a_min: float, a_max: float, ddelta_max: float, da_max: float,
     kappa_speed_cap: bool, a_lat_frac: float,
     squarings: int = 4, order: int = 6, unroll_sweeps: bool = False,
-    unroll_iters: bool = False,
+    unroll_iters: bool = False, model: str = "dynamic",
 ):
     f32 = jnp.float32
+    nx, _na = model_dims(model)
+    s_idx, ey_idx = model_s_ey(model)
     pv = unpack_params(prm_ref)
     rho = rho_ref[0]
     B = rho.shape[-1]
@@ -168,7 +170,7 @@ def _megastep_kernel(
     hi_np = [vx_max, ey_max, delta_max, a_max, ddelta_max, da_max]
 
     def bnd(k, _):
-        kapk = kap_at(Xs_s[k][4])
+        kapk = kap_at(Xs_s[k][s_idx])
         kap_s[k] = kapk
         if kappa_speed_cap:
             cap = jnp.sqrt(
@@ -198,7 +200,7 @@ def _megastep_kernel(
         Aa, Ba = stage_aug_ab(
             Xs_s[k], Us_s[k], kap_s[k], pv,
             I8v, I2_ref[...], Sel_ref[...],
-            dt=dt, tire=tire, squarings=squarings, order=order,
+            dt=dt, tire=tire, squarings=squarings, order=order, model=model,
         )
         A_s[k] = Aa
         B_s[k] = Ba
@@ -361,9 +363,9 @@ def _megastep_kernel(
         converged,
         jnp.logical_and(r_prim < eps_fallback, r_dual < eps_fallback),
     )[None, :]                                           # (1, B)
-    kap_now = kap_at(x_now[4])
+    kap_now = kap_at(x_now[s_idx])
     L = pv["lf"] + pv["lr"]
-    delta_ff = atan_bl(kap_now * L) - 0.5 * x_now[5] * jnp.sign(x_now[0])
+    delta_ff = atan_bl(kap_now * L) - 0.5 * x_now[ey_idx] * jnp.sign(x_now[0])
     delta_ff = jnp.clip(delta_ff, -delta_max, delta_max)
     a_fb = jnp.where(x_now[0] > 2.0 * vx_min, -0.5, 0.0)
     u_fb = jnp.stack([delta_ff, a_fb])                   # (NU, B)
@@ -371,7 +373,7 @@ def _megastep_kernel(
     u0_out[...] = u0
 
     def upd_x(k, _):
-        Xp_out[k] = jnp.where(usable, Xsol_s[k][:NX], Xs_s[k])
+        Xp_out[k] = jnp.where(usable, Xsol_s[k][:nx], Xs_s[k])
         return 0
     jax.lax.fori_loop(0, N + 1, upd_x, 0)
     def upd_u(k, _):
@@ -383,7 +385,8 @@ def _megastep_kernel(
     h = dt / n_sub
 
     def sub(_i, xc):
-        return xc + h * f_dynamic_bl(pv, xc, u0, kap_at(xc[4]), sim_tire)
+        return xc + h * f_model_bl(model, pv, xc, u0, kap_at(xc[s_idx]),
+                                   sim_tire)
 
     xn_out[...] = jax.lax.fori_loop(0, n_sub, sub, x_now)
 
@@ -425,17 +428,18 @@ def megastep_params(p_b: VehicleParams, B: int) -> jnp.ndarray:
 
 
 def megastep_refs(cfg: MPCConfig, x_ref, carry: MegaCarry) -> jnp.ndarray:
-    """(N+1, NX, B) batch-last reference. ``x_ref`` may be a shared
-    (N+1, NX) array, an already batch-last (N+1, NX, B) array, or a planner
+    """(N+1, nx, B) batch-last reference. ``x_ref`` may be a shared
+    (N+1, nx) array, an already batch-last (N+1, nx, B) array, or a planner
     RefTable (sampled along the scheduled s, matching mpc_prepare_light)."""
     from ..planner.reftable import RefTable, refs_from_table
 
     B = carry.x.shape[-1]
+    s_idx, _ = model_s_ey(cfg.model)
     if isinstance(x_ref, RefTable):
         s_sched = jnp.concatenate([
-            carry.x[4][None],
-            carry.X_pred[2:, 4],
-            carry.X_pred[-1:, 4],
+            carry.x[s_idx][None],
+            carry.X_pred[2:, s_idx],
+            carry.X_pred[-1:, s_idx],
         ], axis=0)                                        # (N+1, B)
         refs = jax.vmap(
             lambda s: refs_from_table(cfg, x_ref, s), in_axes=1, out_axes=2
@@ -473,8 +477,10 @@ def megastep(
     with a 254 s Mosaic compile; keep it off.
 
     Returns (new_carry, u0 (NU, B), diag (4, B): r_prim, r_dual,
-    converged, rho_next)."""
-    assert cfg.model == "dynamic" and cfg.linearization == "lpv"
+    converged, rho_next). Supports both the dynamic (nx=6) and kinematic
+    (nx=4, BASELINE config 1) models."""
+    assert cfg.linearization == "lpv"
+    NX, NA = model_dims(cfg.model)
     N = cfg.N
     B = carry.x.shape[-1]
     f32 = jnp.float32
@@ -513,6 +519,7 @@ def megastep(
         a_lat_frac=float(cfg.a_lat_frac),
         unroll_sweeps=unroll_sweeps,
         unroll_iters=unroll_iters,
+        model=cfg.model,
     )
 
     out_shapes = (

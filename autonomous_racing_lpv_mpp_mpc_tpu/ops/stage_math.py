@@ -16,10 +16,25 @@ import jax.numpy as jnp
 
 from .admm_kernel import _mm
 
-NX, NU, NA, NC = 6, 2, 8, 6
+NX, NU, NA, NC = 6, 2, 8, 6            # dynamic-bicycle dims (flagship)
+KIN_NX, KIN_NA = 4, 6                  # kinematic bicycle (BASELINE config 1)
 VX_EPS = 0.05
 DENOM_EPS = 0.1
 PACEJKA_C = 1.3
+
+
+def model_dims(model: str):
+    """(nx, na) for a model; na = nx + NU (the (x, u_prev) augmentation)."""
+    if model == "dynamic":
+        return NX, NA
+    if model == "kinematic":
+        return KIN_NX, KIN_NA
+    raise ValueError(model)
+
+
+def model_s_ey(model: str):
+    """(s_idx, ey_idx) in the model's state vector."""
+    return (4, 5) if model == "dynamic" else (2, 3)
 
 
 def _sinc(x):
@@ -93,24 +108,16 @@ def secant_stiffness(pv, delta, vy, wz, vxs, tire: str):
     return Cf, Cr
 
 
-def stage_aug_ab(
-    x, u, kap, pv, I8v, I2_mat, Sel,
-    *, dt: float, tire: str, squarings: int = 4, order: int = 6,
-):
-    """One scheduled stage: LPV linearization + Van Loan discretization +
-    (x, u_prev) augmentation, batch-last.
+def _ab_cont_dynamic(x, u, kap, pv, tire: str):
+    """Continuous-time LPV (A, B) stacks for the dynamic bicycle, batch-last.
 
-    x: (NX, B), u: (NU, B), kap: (B,), pv: unpack_params dict,
-    I8v: (NA, NA, 1), I2_mat: (NU, NU), Sel: (NA, NU) constant column
-    selector (offset slices of matmul-chain results crash Mosaic->LLO;
-    see ops/fused_kernel.py).  Returns (Aa, Ba): (NA, NA, B), (NA, NU, B).
+    x: (NX, B), u: (NU, B), kap: (B,). Mirrors models/lpv.py::
+    lpv_ab_dynamic. Returns (A6 (NX,NX,B), B6 (NX,NU,B)).
     """
-    f32 = jnp.float32
     m_, Iz, lf, lr = pv["m"], pv["Iz"], pv["lf"], pv["lr"]
     cd0, cd1 = pv["cd0"], pv["cd1"]
     vx, vy, wz, epsi, ey = x[0], x[1], x[2], x[3], x[5]
     delta = u[0]
-    B = vx.shape[-1]
     vxs = jnp.maximum(vx, VX_EPS)
     Cf, Cr = secant_stiffness(pv, delta, vy, wz, vxs, tire)
 
@@ -152,27 +159,98 @@ def stage_aug_ab(
         jnp.stack([z, z]),
         jnp.stack([z, z]),
     ])                                           # (NX, NU, B)
+    return A6, B6
 
-    # Van Loan block [[A6, B6], [0, 0]] scaled for squaring
-    top = jnp.concatenate([A6, B6], axis=1)      # (NX, NA, B)
+
+def _ab_cont_kinematic(x, u, kap, pv):
+    """Continuous-time LPV (A, B) stacks for the kinematic bicycle,
+    batch-last (models/lpv.py::lpv_ab_kinematic, BASELINE config 1).
+
+    x = (vx, e_psi, s, e_y): (KIN_NX, B), u: (NU, B), kap: (B,).
+    """
+    m_, lf, lr = pv["m"], pv["lf"], pv["lr"]
+    cd0, cd1 = pv["cd0"], pv["cd1"]
+    vx, epsi, ey = x[0], x[1], x[3]
+    vxs = jnp.maximum(vx, VX_EPS)
+    L = lf + lr
+    se, ce = jnp.sin(epsi), jnp.cos(epsi)
+    den = jnp.maximum(1.0 - kap * ey, DENOM_EPS)
+    z = jnp.zeros_like(vx)
+    one = jnp.ones_like(vx)
+
+    a00 = -(cd1 + cd0 / vxs) / m_
+    a10 = -kap * ce / den
+    a20 = ce / den
+    a31 = vxs * _sinc(epsi)
+    A4 = jnp.stack([
+        jnp.stack([a00, z, z, z]),
+        jnp.stack([a10, z, z, z]),
+        jnp.stack([a20, z, z, z]),
+        jnp.stack([z, a31, z, z]),
+    ])                                           # (KIN_NX, KIN_NX, B)
+    B4 = jnp.stack([
+        jnp.stack([z, one]),
+        jnp.stack([vxs / L, z]),
+        jnp.stack([z, z]),
+        jnp.stack([z, z]),
+    ])                                           # (KIN_NX, NU, B)
+    return A4, B4
+
+
+def _vanloan_aug(A_c, B_c, Iav, I2_mat, Sel, *, dt: float,
+                 squarings: int, order: int):
+    """Van Loan exp([[A, B], [0, 0]] dt) + (x, u_prev) augmentation,
+    batch-last, generic in nx (na = nx + NU).
+
+    A_c: (nx, nx, B), B_c: (nx, NU, B), Iav: (na, na, 1), I2_mat: (NU, NU),
+    Sel: (na, NU) constant column selector (offset slices of matmul-chain
+    results crash Mosaic->LLO; see ops/fused_kernel.py).
+    Returns (Aa, Ba): (na, na, B), (na, NU, B).
+    """
+    f32 = jnp.float32
+    nx = A_c.shape[0]
+    na = nx + NU
+    B = A_c.shape[-1]
+    top = jnp.concatenate([A_c, B_c], axis=1)    # (nx, na, B)
     Mv = jnp.concatenate(
-        [top, jnp.zeros((NU, NA, B), f32)], axis=0
+        [top, jnp.zeros((NU, na, B), f32)], axis=0
     ) * (dt / (2.0 ** squarings))
-    E = I8v + Mv / order
+    E = Iav + Mv / order
     for j in range(order - 1, 0, -1):
-        E = I8v + _mm(Mv, E) / j
+        E = Iav + _mm(Mv, E) / j
     for _ in range(squarings):
         E = _mm(E, E)
-    Ad6 = E[:NX, :NX]
-    Bd6 = (E[:, :, None, :] * Sel[None, :, :, None]).sum(axis=1)[:NX]
+    Ad = E[:nx, :nx]
+    Bd = (E[:, :, None, :] * Sel[None, :, :, None]).sum(axis=1)[:nx]
 
     Aa = jnp.concatenate([
-        jnp.concatenate([Ad6, jnp.zeros((NX, NU, B), f32)], axis=1),
-        jnp.zeros((NU, NA, B), f32),
+        jnp.concatenate([Ad, jnp.zeros((nx, NU, B), f32)], axis=1),
+        jnp.zeros((NU, na, B), f32),
     ], axis=0)
     I2v = I2_mat[:, :, None] * jnp.ones((1, 1, B), f32)
-    Ba = jnp.concatenate([Bd6, I2v], axis=0)
+    Ba = jnp.concatenate([Bd, I2v], axis=0)
     return Aa, Ba
+
+
+def stage_aug_ab(
+    x, u, kap, pv, I8v, I2_mat, Sel,
+    *, dt: float, tire: str, squarings: int = 4, order: int = 6,
+    model: str = "dynamic",
+):
+    """One scheduled stage: LPV linearization + Van Loan discretization +
+    (x, u_prev) augmentation, batch-last.
+
+    x: (nx, B), u: (NU, B), kap: (B,), pv: unpack_params dict,
+    I8v: (na, na, 1), I2_mat: (NU, NU), Sel: (na, NU) constant column
+    selector. Returns (Aa, Ba): (na, na, B), (na, NU, B). ``model`` selects
+    the dynamic (nx=6) or kinematic (nx=4, BASELINE config 1) LPV.
+    """
+    if model == "kinematic":
+        A_c, B_c = _ab_cont_kinematic(x, u, kap, pv)
+    else:
+        A_c, B_c = _ab_cont_dynamic(x, u, kap, pv, tire)
+    return _vanloan_aug(A_c, B_c, I8v, I2_mat, Sel,
+                        dt=dt, squarings=squarings, order=order)
 
 
 def f_dynamic_bl(pv, x, u, kap, tire: str):
@@ -208,3 +286,26 @@ def f_dynamic_bl(pv, x, u, kap, tire: str):
     depsi = wz - kap * sdot
     dey = vx * se + vy * ce
     return jnp.stack([dvx, dvy, dwz, depsi, sdot, dey])
+
+
+def f_kinematic_bl(pv, x, u, kap):
+    """Batch-last kinematic-bicycle Frenet ODE (models/dynamics.py::
+    f_kinematic, BASELINE config 1). x: (KIN_NX, B), u: (NU, B), kap: (B,).
+    tan(delta) via sin/cos (no Mosaic tan lowering needed)."""
+    vx, epsi, ey = x[0], x[1], x[3]
+    delta, a = u[0], u[1]
+    L = pv["lf"] + pv["lr"]
+    dvx = a - (pv["cd0"] + pv["cd1"] * vx) / pv["m"]
+    psidot = vx * jnp.sin(delta) / (jnp.cos(delta) * L)
+    se, ce = jnp.sin(epsi), jnp.cos(epsi)
+    denom = jnp.maximum(1.0 - kap * ey, DENOM_EPS)
+    sdot = vx * ce / denom
+    depsi = psidot - kap * sdot
+    dey = vx * se
+    return jnp.stack([dvx, depsi, sdot, dey])
+
+
+def f_model_bl(model: str, pv, x, u, kap, tire: str):
+    if model == "kinematic":
+        return f_kinematic_bl(pv, x, u, kap)
+    return f_dynamic_bl(pv, x, u, kap, tire)
