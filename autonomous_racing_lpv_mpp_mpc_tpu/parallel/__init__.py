@@ -1,6 +1,11 @@
 from .mesh import make_mesh, multihost_init, scenario_sharding
 from .collectives import pmax_scalar, pmean_tree, psum_tree
 from .riccati_dist import riccati_factor_horizon_sharded
+from .admm_dist import (
+    ShardedBoxQP,
+    admm_solve_horizon_sharded,
+    shard_boxqp,
+)
 from .scenarios import (
     ScenarioBatch,
     make_scenario_grid,
@@ -24,4 +29,7 @@ __all__ = [
     "sharded_solve_step",
     "SweepMetrics",
     "riccati_factor_horizon_sharded",
+    "ShardedBoxQP",
+    "admm_solve_horizon_sharded",
+    "shard_boxqp",
 ]
