@@ -160,6 +160,15 @@ class SolverConfig:
     # or "mega" (the whole receding-horizon step incl. plant in one kernel,
     # ops/megastep_kernel.py — used via megastep(), not mpc_step_batched)
     backend: str = struct.field(pytree_node=False, default="xla")
+    # OSQP-parity pre/post stages (solver/production.py; SURVEY.md §3.2
+    # scale -> iterate -> polish). equilibrate: Ruiz row equilibration, ON
+    # by default like OSQP's `scaling` (exact identity for the tracker's
+    # own ±1 selector rows; matters for arbitrary user/derived rows — the
+    # fused/mega kernels build unit-norm rows in-kernel and are
+    # equilibrated by construction). polish: active-set KKT refinement of
+    # the converged iterate, OFF by default like OSQP.
+    equilibrate: bool = struct.field(pytree_node=False, default=True)
+    polish: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

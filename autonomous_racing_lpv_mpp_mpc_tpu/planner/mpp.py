@@ -37,7 +37,8 @@ from ..engine.assembly import (
 )
 from ..models import model_nx
 from ..models.dynamics import NU
-from ..solver.admm import BoxQP, admm_solve
+from ..solver.admm import BoxQP
+from ..solver.production import production_solve
 from ..solver.riccati import LQRCost, LQRDynamics
 from ..track.track import Track, curvature_at, wrap_s
 from .reftable import RefTable
@@ -105,17 +106,17 @@ def _stage_bounds(p, pcfg: MPPConfig, track: Track, s_sched, obstacles):
     ey_lo = jnp.full((H1,), -half)
     ey_hi = jnp.full((H1,), half)
     if obstacles is not None:
-        margin = pcfg.ey_margin
-        for i in range(obstacles.shape[0]):
-            o_s0, o_s1, o_lo, o_hi = (obstacles[i, j] for j in range(4))
-            inside = jnp.logical_and(sm >= o_s0, sm <= o_s1)
-            up_w = half - (o_hi + margin)     # free width above the obstacle
-            dn_w = (o_lo - margin) + half     # free width below
-            go_up = up_w >= dn_w
-            new_lo = jnp.where(go_up, o_hi + margin, -half)
-            new_hi = jnp.where(go_up, half, o_lo - margin)
-            ey_lo = jnp.where(inside, jnp.maximum(ey_lo, new_lo), ey_lo)
-            ey_hi = jnp.where(inside, jnp.minimum(ey_hi, new_hi), ey_hi)
+        from ..engine.assembly import (
+            block_curvatures,
+            corridor_from_blocks,
+            steerable_curvature,
+        )
+
+        ey_lo, ey_hi = corridor_from_blocks(
+            sm, ey_lo, ey_hi, obstacles, pcfg.ey_margin, half,
+            kappa_blk=block_curvatures(track, obstacles),
+            kappa_cap=steerable_curvature(p, b.delta_max),
+        )
 
     lb = jnp.zeros((H1, N_CON), jnp.float32)
     ub = jnp.zeros((H1, N_CON), jnp.float32)
@@ -214,6 +215,13 @@ def _build_table(p, pcfg: MPPConfig, track: Track, s_traj, vx_tr, ey_tr,
     )
 
 
+@jax.jit
+def _sqp_pass(p, pcfg, track, scfg, X_bar, U_bar, obstacles, warm):
+    """One SQP pass: relinearize along the iterate, solve the planner QP."""
+    qp = _build_planner_qp(p, pcfg, track, X_bar, U_bar, U_bar[0], obstacles)
+    return production_solve(qp, scfg, warm=warm)
+
+
 def plan_mpp(
     p: VehicleParams,
     pcfg: MPPConfig,
@@ -247,17 +255,14 @@ def plan_mpp(
         X_bar = X_bar.at[0].set(x0_state)
     u_prev = U_bar[0]
 
-    solve = jax.jit(
-        lambda Xb, Ub, warm: admm_solve(
-            _build_planner_qp(p, pcfg, track, Xb, Ub, Ub[0], obstacles),
-            scfg, warm=warm,
-        )
-    )
-
     convs, iters = [], []
     warm = None
     for _ in range(pcfg.n_sqp):
-        sol = solve(X_bar, U_bar, warm)
+        # module-level jit: caches across replans (online mode re-plans every
+        # few tracker steps; obstacles are a traced argument, so moving
+        # corridors do NOT retrace as long as the block count is stable —
+        # see planner/opponents.py::pad_blocks)
+        sol = _sqp_pass(p, pcfg, track, scfg, X_bar, U_bar, obstacles, warm)
         X_bar = sol.X[:, :nx]
         U_bar = sol.U
         # ADMM state carries over across SQP passes (warm-started SQP)

@@ -10,6 +10,7 @@ from .riccati import (
 )
 from .admm import ADMMSolution, BoxQP, admm_solve, admm_solve_single, qp_objective
 from .polish import PolishResult, polish, stack_boxqp_jax
+from .production import polish_solution, production_solve
 from .scaling import (
     RowScaling,
     admm_solve_equilibrated,
@@ -21,6 +22,8 @@ from .scaling import (
 __all__ = [
     "PolishResult",
     "polish",
+    "polish_solution",
+    "production_solve",
     "stack_boxqp_jax",
     "RowScaling",
     "admm_solve_equilibrated",

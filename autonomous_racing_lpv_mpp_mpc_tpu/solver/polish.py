@@ -179,9 +179,12 @@ def polish(qp: BoxQP, sol: ADMMSolution, delta: float = 1e-6,
     lam_flat = sol.lam.reshape(-1)
     s_flat = sol.s.reshape(-1)
     lbf, ubf = qp.lb.reshape(-1), qp.ub.reshape(-1)  # original row space
-    near_tol = 1e-3 * (1.0 + jnp.abs(jnp.where(jnp.isfinite(lbf), lbf, 0.0)))
-    near_lo = s_flat - lbf <= near_tol
-    near_up = ubf - s_flat <= near_tol
+    # per-bound nearness tolerances (a tolerance scaled by |lb| alone would
+    # be overly tight for upper rows with small lb but large |ub|)
+    tol_lo = 1e-3 * (1.0 + jnp.abs(jnp.where(jnp.isfinite(lbf), lbf, 0.0)))
+    tol_up = 1e-3 * (1.0 + jnp.abs(jnp.where(jnp.isfinite(ubf), ubf, 0.0)))
+    near_lo = s_flat - lbf <= tol_lo
+    near_up = ubf - s_flat <= tol_up
     act_lo = hard_full & (lam_flat < 0) & near_lo & jnp.isfinite(lbf)
     act_up = hard_full & (lam_flat > 0) & near_up & jnp.isfinite(ubf)
     active = jnp.logical_or(act_lo, act_up)

@@ -67,9 +67,14 @@ def test_config2_dynamic_racetrack_full_lap():
 
 def test_acceptance_control_sequence_matches_oracle():
     """BASELINE acceptance: steering/throttle sequence matches the
-    OSQP-semantics oracle within tolerance, re-synced per step."""
+    OSQP-semantics oracle within tolerance, re-synced per step.
+
+    ``polish=True`` exercises the full production pipeline
+    (equilibrate -> ADMM -> active-set polish, solver/production.py);
+    the polish stage is what tightens the tolerance from the r1 2e-3 to
+    5e-4 (VERDICT r1 next #4)."""
     cfg = MPCConfig(N=12, model="dynamic")
-    scfg = SolverConfig(max_iter=300, eps_abs=1e-6, eps_rel=1e-6)
+    scfg = SolverConfig(max_iter=300, eps_abs=1e-6, eps_rel=1e-6, polish=True)
     track = oval_track()
     x_ref = constant_refs(cfg, 1.5)
     x = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.05])
@@ -91,8 +96,9 @@ def test_acceptance_control_sequence_matches_oracle():
         _, Ur = unstack_solution(qp, ref.x)
         max_du = max(max_du, float(np.abs(np.asarray(u_jax) - Ur[0]).max()))
         x = plant_fn(x, u_jax)
-    # tolerance ladder (SURVEY.md §7): per-step u within tau in f32
-    assert max_du < 2e-3, f"max |u_jax - u_oracle| = {max_du}"
+    # tolerance ladder (SURVEY.md §7): per-step u within tau in f32;
+    # polished production path holds 5e-4 (4x tighter than unpolished r1)
+    assert max_du < 5e-4, f"max |u_jax - u_oracle| = {max_du}"
 
 
 @pytest.mark.parametrize("mode", [

@@ -187,3 +187,93 @@ def test_oracle_feasible_qp_has_no_certificates():
     res = osqp_ref_solve(P, q, Acon, l, u, OsqpRefSettings())
     assert res.converged
     assert not res.primal_infeasible and not res.dual_infeasible
+
+
+def test_production_solve_pipeline_matches_oracle():
+    """production_solve (equilibrate -> ADMM -> polish) on a badly scaled
+    QP reaches oracle accuracy; the default config (equilibrate on, polish
+    off, like OSQP) matches admm_solve_equilibrated exactly."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.solver import production_solve
+
+    qp = badly_scaled_qp(factor=500.0)
+    cfg = SolverConfig(max_iter=200, eps_abs=1e-4, eps_rel=1e-4,
+                       rho_interval=25, polish=True)
+    sol = jax.jit(lambda q: production_solve(q, cfg))(qp)
+    assert bool(sol.converged)
+
+    # ground truth: oracle on the EQUILIBRATED problem (the raw one stalls
+    # the unpreconditioned oracle — see test_equilibrated_solve_matches_
+    # oracle); U is invariant under row scaling.
+    scaled, _ = ruiz_row_equilibrate(qp)
+    P, q, Acon, l, u = stack_boxqp(scaled)
+    ref = osqp_ref_solve(P, q, Acon, l, u,
+                         OsqpRefSettings(eps_abs=1e-9, eps_rel=1e-9,
+                                         max_iter=20000))
+    assert ref.converged
+    _, Ur = unstack_solution(scaled, ref.x)
+    # polish tightens the loose (eps 1e-4) ADMM iterate past the plain
+    # equilibrated test's 3e-4 bound
+    assert np.abs(np.asarray(sol.U) - Ur).max() < 1e-4
+
+    dflt = SolverConfig(max_iter=200, eps_abs=1e-4, eps_rel=1e-4,
+                        rho_interval=25)
+    a = production_solve(qp, dflt)
+    b = admm_solve_equilibrated(qp, dflt)
+    np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U), atol=0)
+
+
+def test_badly_scaled_rows_closed_loop_default_path():
+    """VERDICT r1 next #4 acceptance: a receding-horizon closed loop whose
+    constraint rows carry wild mixed units (x50 / x0.02 / x200 ...)
+    converges on the DEFAULT production path (equilibrate=True) and applies
+    the same controls as the unit-row loop — the scaled QP is the same
+    problem, and Ruiz row equilibration recovers it."""
+    import jax.numpy as jnp
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPCConfig, VehicleParams
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+        constant_refs, mpc_init, mpc_prepare, mpc_step, plant_step,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.mpc import _post_solve
+    from autonomous_racing_lpv_mpp_mpc_tpu.solver import production_solve
+    from autonomous_racing_lpv_mpp_mpc_tpu.solver.scaling import (
+        RowScaling, unscale_solution as unscale,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track
+
+    p = VehicleParams()
+    cfg = MPCConfig(N=10, model="dynamic")
+    scfg = SolverConfig(max_iter=80, rho_interval=10)   # defaults: equilibrate
+    track = oval_track()
+    x_ref = constant_refs(cfg, 1.4)
+    m = jnp.array([50.0, 0.02, 200.0, 0.5, 1.0, 30.0], jnp.float32)
+
+    def scale_qp(qp):
+        return qp._replace(
+            Dx=m[:, None] * qp.Dx, Du=m[:, None] * qp.Du,
+            lb=qp.lb * m, ub=qp.ub * m,
+            soft=jnp.where(jnp.isinf(qp.soft), qp.soft, qp.soft / (m * m)),
+        )
+
+    @jax.jit
+    def bad_step(x, carry):
+        qp, warm, U_sched = mpc_prepare(p, cfg, track, x, x_ref, carry)
+        s_w, lam_w, Xa_w, U_w = warm
+        sol = production_solve(
+            scale_qp(qp), scfg,
+            warm=(s_w * m, lam_w / m, Xa_w, U_w), rho0=carry.rho,
+        )
+        sol = unscale(sol, RowScaling(d=m))
+        return _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol)
+
+    good_step = jax.jit(lambda x, c: mpc_step(p, cfg, scfg, track, x, x_ref, c))
+    sim = jax.jit(lambda x, u: plant_step(p, cfg, track, x, u))
+
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.05])
+    xb = xg = x0
+    cb = cg = mpc_init(p, cfg, track, x0)
+    for _ in range(20):
+        ub, cb, db = bad_step(xb, cb)
+        ug, cg, dg = good_step(xg, cg)
+        assert bool(db.converged)
+        np.testing.assert_allclose(np.asarray(ub), np.asarray(ug), atol=2e-4)
+        xb, xg = sim(xb, ub), sim(xg, ug)
