@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from ..core.config import MPCConfig, SolverConfig, VehicleParams
 from ..models.dynamics import VX_EPS
 from ..models.tires import axle_loads, tire_force
-from ..track.track import Track, frenet_to_global, global_to_frenet
+from ..track.track import (
+    Track,
+    frenet_to_global,
+    global_to_frenet,
+    global_to_frenet_windowed,
+)
 from .mpc import mpc_init, mpc_step
 
 
@@ -69,11 +74,16 @@ def estimate_frenet(track: Track, xg, s_hint=None):
     previous unwrapped s) re-unwraps it so the MPC sees monotone progress.
     """
     vx, vy, wz = xg[0], xg[1], xg[2]
-    s, ey, epsi = global_to_frenet(track, xg[3], xg[4], xg[5])
     if s_hint is not None:
+        # O(window) nearest-node search around the previous s — the dense
+        # argmin is O(n_cells) per step and collapses on long tracks
+        s, ey, epsi = global_to_frenet_windowed(
+            track, xg[3], xg[4], xg[5], s_hint)
         L = track.length
         lap = jnp.round((s_hint - s) / L)
         s = s + lap * L
+    else:
+        s, ey, epsi = global_to_frenet(track, xg[3], xg[4], xg[5])
     return jnp.stack([vx, vy, wz, epsi, s, ey])
 
 

@@ -107,6 +107,7 @@ def _admm_kernel(
     # scratch
     K_s, Hiv_s, Hux_s, Vc_s, V_s, d_s,
     *, N: int, max_iter: int, sigma: float, alpha: float,
+    eps_abs: float, eps_rel: float,
 ):
     rho = rho_ref[0]                       # (B,)
     Dx = Dx_ref[...]
@@ -171,15 +172,32 @@ def _admm_kernel(
         lam_new = lam + rho * (w_rel - s_new)
         return (s_new, lam_new, Xn, Un), G
 
-    def iter_body(_, carry):
-        new_carry, _ = one_iteration(carry)
-        return new_carry
+    red_b = lambda t: jnp.max(jnp.abs(t), axis=(0, 1))
+    f32 = X_out.dtype
+
+    def iter_body(i, carry):
+        inner, da = carry
+        s_old = inner[0]
+        new_inner, G = one_iteration(inner)
+        s_new, lam_new = new_inner[0], new_inner[1]
+        # done-at tracking (solver/admm.py termination-check formulas)
+        r_p = red_b(G - s_new)
+        r_d = rho * _dual_norm(Dx, Du, s_new - s_old, N)
+        e_p = eps_abs + eps_rel * jnp.maximum(red_b(G), red_b(s_new))
+        e_d = eps_abs + eps_rel * _dual_norm(Dx, Du, lam_new, N)
+        conv_it = jnp.logical_and(r_p <= e_p, r_d <= e_d)
+        itv = (jnp.asarray(i, jnp.int32) + 1).astype(f32)
+        da = jnp.where(jnp.logical_and(da < 0.0, conv_it), itv, da)
+        return new_inner, da
 
     X_out[0] = x0_ref[...]
     X_init = jnp.zeros(X_out.shape, X_out.dtype)
     U_init = jnp.zeros(U_out.shape, U_out.dtype)
-    carry = (s0_ref[...], lam0_ref[...], X_init, U_init)
-    carry = jax.lax.fori_loop(0, max_iter - 1, iter_body, carry)
+    da0 = jnp.full((rho.shape[-1],), -1.0, f32)
+    carry, done_at = jax.lax.fori_loop(
+        0, max_iter - 1, iter_body,
+        ((s0_ref[...], lam0_ref[...], X_init, U_init), da0),
+    )
 
     s_prev = carry[0]
     (s_f, lam_f, X_f, U_f), G = one_iteration(carry)
@@ -197,7 +215,10 @@ def _admm_kernel(
     stats_out[2] = red(G)                          # |w|_inf
     stats_out[3] = red(s_f)                        # |s|_inf
     stats_out[4] = _dual_norm(Dx, Du, lam_f, N)    # |D^T lam|_inf
-    stats_out[5] = zero
+    # row 5: done-at iteration; lanes that first converge on the final
+    # iteration (or never) report max_iter, matching solver/admm.py
+    stats_out[5] = jnp.where(done_at > 0.0, done_at,
+                             jnp.full(done_at.shape, float(max_iter), f32))
     stats_out[6] = zero
     stats_out[7] = zero
 
@@ -287,6 +308,7 @@ def pallas_admm_solve(
     kernel = functools.partial(
         _admm_kernel, N=N, max_iter=cfg.max_iter,
         sigma=float(cfg.sigma), alpha=float(cfg.alpha),
+        eps_abs=float(cfg.eps_abs), eps_rel=float(cfg.eps_rel),
     )
 
     out_shapes = (
@@ -344,7 +366,7 @@ def pallas_admm_solve(
     return ADMMSolution(
         X=X, U=U, s=s, lam=lam, r_prim=r_prim, r_dual=r_dual,
         converged=converged,
-        iters=jnp.full((B,), cfg.max_iter, jnp.int32),
+        iters=stats[:, 5].astype(jnp.int32),
         rho=rho_new,
         primal_infeasible=jnp.zeros((B,), bool),
     )

@@ -82,7 +82,8 @@ def _fused_kernel(
     sprev_s,     # (N+1, NC, B)
     G_s,         # (N+1, NC, B)
     *, N: int, dt: float, max_iter: int, sigma: float, alpha: float,
-    tire: str, squarings: int = 4, order: int = 6, model: str = "dynamic",
+    tire: str, eps_abs: float, eps_rel: float,
+    squarings: int = 4, order: int = 6, model: str = "dynamic",
 ):
     pv = unpack_params(prm_ref)
     rho = rho_ref[0]
@@ -158,6 +159,11 @@ def _fused_kernel(
     beta = jnp.minimum(soft, 1e30)[None, :, :]
     hard = jnp.isinf(soft)[None, :, :]
 
+    # done-at-iteration tracking mirrored from the megastep kernel
+    # (stats row 5; -1 = not yet converged)
+    stats_out[5] = jnp.full((B,), -1.0, f32)
+    red_b = lambda t: jnp.max(jnp.abs(t), axis=(0, 1))
+
     def iteration(_it, __):
         s = s_out[...]
         lam = lam_out[...]
@@ -196,7 +202,17 @@ def _fused_kernel(
         s_new = jnp.where(hard, clipped, soft_s)
         sprev_s[...] = s
         s_out[...] = s_new
-        lam_out[...] = lam + rho * (w_rel - s_new)
+        lam_new = lam + rho * (w_rel - s_new)
+        lam_out[...] = lam_new
+
+        r_p = red_b(G - s_new)
+        r_d = rho * _dual_norm(Dx, Du, s_new - s, N)
+        e_p = eps_abs + eps_rel * jnp.maximum(red_b(G), red_b(s_new))
+        e_d = eps_abs + eps_rel * _dual_norm(Dx, Du, lam_new, N)
+        conv_it = jnp.logical_and(r_p <= e_p, r_d <= e_d)
+        da = stats_out[5]
+        itv = (jnp.asarray(_it, jnp.int32) + 1).astype(f32)
+        stats_out[5] = jnp.where(jnp.logical_and(da < 0.0, conv_it), itv, da)
         return 0
 
     jax.lax.fori_loop(0, max_iter, iteration, 0)
@@ -213,7 +229,10 @@ def _fused_kernel(
     stats_out[2] = red(G)
     stats_out[3] = red(s_f)
     stats_out[4] = _dual_norm(Dx, Du, lam_f, N)
-    stats_out[5] = zero
+    # row 5: done-at iteration (written during the loop; fill max_iter for
+    # lanes that never converged)
+    da = stats_out[5]
+    stats_out[5] = jnp.where(da > 0.0, da, jnp.full((B,), float(max_iter), f32))
     stats_out[6] = zero
     stats_out[7] = zero
 
@@ -329,6 +348,7 @@ def fused_mpc_solve(
         _fused_kernel,
         N=N, dt=float(cfg.dt), max_iter=scfg.max_iter,
         sigma=sigma, alpha=float(scfg.alpha), tire=cfg.tire,
+        eps_abs=float(scfg.eps_abs), eps_rel=float(scfg.eps_rel),
         model=cfg.model,
     )
 
@@ -395,7 +415,7 @@ def fused_mpc_solve(
     return ADMMSolution(
         X=X, U=U, s=s, lam=lam, r_prim=r_prim, r_dual=r_dual,
         converged=converged,
-        iters=jnp.full((B,), scfg.max_iter, jnp.int32),
+        iters=stats[:, 5].astype(jnp.int32),
         rho=rho_new,
         primal_infeasible=jnp.zeros((B,), bool),
     )

@@ -17,6 +17,9 @@ from autonomous_racing_lpv_mpp_mpc_tpu.track import (
 )
 
 
+pytestmark = pytest.mark.quick  # smoke tier: see pyproject markers
+
+
 @pytest.fixture(scope="module", params=["oval", "racetrack"])
 def track(request):
     return oval_track() if request.param == "oval" else racetrack()
@@ -131,3 +134,31 @@ def test_tab_chicane_nets_zero():
     assert np.isclose(float(t.psi[-1]), 0.0, atol=1e-3)
     assert np.isclose(float(t.Y[-1]), 0.0, atol=1e-3)
     assert np.isclose(float(t.X[-1]), 1.0 + 4 * 0.5 + 1.0, atol=1e-3)
+
+
+def test_global_to_frenet_windowed_matches_dense():
+    """Hint-windowed conversion == dense argmin whenever the hint is near
+    (the closed-loop invariant); exercises wrap-around at s=0/L."""
+    import numpy as np
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+    from autonomous_racing_lpv_mpp_mpc_tpu.track.track import (
+        global_to_frenet_windowed,
+    )
+
+    track = racetrack()
+    L = float(track.length)
+    s_true = jnp.asarray([0.05, 1.3, L / 2, L - 0.04, 0.0])
+    ey = jnp.asarray([0.05, -0.12, 0.0, 0.1, -0.07])
+    ep = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.15])
+    X, Y, psi = jax.vmap(lambda a, b, c: frenet_to_global(track, a, b, c))(
+        s_true, ey, ep)
+    # hint = true s perturbed by up to 1.5 m (several control steps of lag)
+    hints = s_true + jnp.asarray([0.4, -1.2, 0.9, 1.4, -0.3])
+    sd, eyd, epd = jax.vmap(lambda a, b, c: global_to_frenet(track, a, b, c))(
+        X, Y, psi)
+    sw, eyw, epw = jax.jit(jax.vmap(
+        lambda a, b, c, h: global_to_frenet_windowed(track, a, b, c, h)
+    ))(X, Y, psi, hints)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(sd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eyw), np.asarray(eyd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(epw), np.asarray(epd), atol=1e-5)
