@@ -132,7 +132,11 @@ def config4(p: VehicleParams, scfg: SolverConfig, batch: int = 4096,
 
 def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
             T: int = 30, **kw) -> Dict:
-    """Mesh-wide sweep with collective metric reduction (all devices)."""
+    """Mesh-wide sweep with collective metric reduction (all devices).
+
+    On a >1-device mesh the same per-device workload is also timed on a
+    single device and a weak-scaling efficiency is reported (BASELINE
+    north star: >= 80%; VERDICT r1 missing #4's measurement harness)."""
     cfg = MPCConfig(N=14, model="dynamic")
     track = racetrack()
     mesh = make_mesh()
@@ -145,13 +149,19 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
     scen = jax.tree.map(lambda a: a[:Bm], scen)
     x_ref = constant_refs(cfg, 1.8)
 
-    run = jax.jit(lambda s: sharded_closed_loop(
-        mesh, s, cfg, scfg, track, x_ref, T=T, sim_tire="pacejka"))
-    log, metrics = jax.block_until_ready(run(scen))
-    t0 = time.perf_counter()
-    log, metrics = jax.block_until_ready(run(scen))
-    dt_wall = time.perf_counter() - t0
-    return {
+    def timed_run(mesh_, scen_):
+        run = jax.jit(lambda s: sharded_closed_loop(
+            mesh_, s, cfg, scfg, track, x_ref, T=T, sim_tire="pacejka"))
+        _log, m = jax.block_until_ready(run(scen_))      # compile + warm
+        t0 = time.perf_counter()
+        _log, m = jax.block_until_ready(run(scen_))
+        return m, time.perf_counter() - t0
+
+    from ..parallel import host_local_to_global
+
+    scen_g = host_local_to_global(mesh, scen)
+    metrics, dt_wall = timed_run(mesh, scen_g)
+    out = {
         "devices": n_dev,
         "batch": Bm,
         "total_solves": Bm * T,
@@ -160,6 +170,15 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
         "converged_frac": round(float(metrics.converged_frac), 3),
         "mean_progress_m": round(float(metrics.mean_progress), 2),
     }
+    if n_dev > 1 and jax.process_count() == 1:
+        b1 = Bm // n_dev
+        mesh1 = make_mesh(devices=jax.devices()[:1])
+        _, dt1 = timed_run(mesh1, jax.tree.map(lambda a: a[:b1], scen))
+        thr1 = b1 * T / dt1
+        out["solves_per_s_1dev"] = round(thr1, 1)
+        out["scaling_efficiency"] = round(
+            (Bm * T / dt_wall) / (n_dev * thr1), 3)
+    return out
 
 
 def latency(p: VehicleParams, scfg: SolverConfig, batch: int = 128,
@@ -190,10 +209,31 @@ def latency(p: VehicleParams, scfg: SolverConfig, batch: int = 128,
         jax.block_until_ready(u)
         times.append((time.perf_counter() - t0) * 1e3)
     times = np.sort(np.asarray(times))
+
+    # on-device per-step latency, NOT polluted by host/tunnel dispatch:
+    # one dispatch runs a scan of K steps, wall time / K (VERDICT r1 weak
+    # #8 — the p50/p99 above include ~25 ms of axon-tunnel dispatch).
+    K = 50
+
+    @jax.jit
+    def k_steps(xs, cs):
+        def body(c, _):
+            xs_i, cs_i = c
+            u_i, cs2, d_i = mpc_step_batched(
+                scen.params, cfg, scfg, track, xs_i, x_ref, cs_i)
+            return (xs_i, cs2), d_i.converged
+        return jax.lax.scan(body, (xs, cs), None, length=K)
+
+    state = jax.block_until_ready(k_steps(scen.x0, carries))[0]  # compile
+    t0 = time.perf_counter()
+    state, _ = jax.block_until_ready(k_steps(*state))
+    on_dev_ms = (time.perf_counter() - t0) / K * 1e3
+
     return {
         "batch": scen.batch,
         "p50_ms": round(float(np.percentile(times, 50)), 3),
         "p99_ms": round(float(np.percentile(times, 99)), 3),
+        "on_device_step_ms": round(on_dev_ms, 3),
         "budget_ms": round(1000.0 * cfg.dt, 1),
         "converged_frac": round(float(d.converged.mean()), 3),
     }

@@ -1,4 +1,9 @@
-from .mesh import make_mesh, multihost_init, scenario_sharding
+from .mesh import (
+    host_local_to_global,
+    make_mesh,
+    multihost_init,
+    scenario_sharding,
+)
 from .collectives import pmax_scalar, pmean_tree, psum_tree
 from .riccati_dist import riccati_factor_horizon_sharded
 from .admm_dist import (
@@ -16,6 +21,7 @@ from .scenarios import (
 )
 
 __all__ = [
+    "host_local_to_global",
     "make_mesh",
     "multihost_init",
     "scenario_sharding",

@@ -27,18 +27,60 @@ SCENARIO_AXIS = "scenarios"
 HORIZON_AXIS = "horizon"
 
 
-def multihost_init(coordinator: Optional[str] = None) -> None:
+def multihost_init(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Initialize the multi-host JAX runtime (no-op if single-process).
 
     On a real pod slice each host calls this before building the global
-    mesh; controlled by the standard JAX_COORDINATOR env vars. Safe to call
-    when already initialized.
+    mesh; controlled by the standard JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars (TPU pods auto-discover
+    and only need the address). Safe to call when already initialized.
+
+    On the CPU backend the cross-process collective transport is selected
+    too (gloo) — that is what lets the 2-process CI test
+    (tests/test_multiprocess.py) exercise this exact code path without a
+    pod: DCN-spanning meshes, psum'd metrics, global arrays.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOT jax.process_count(): that would initialise the XLA backend,
+    # which must not happen before jax.distributed.initialize()
+    if jax.distributed.is_initialized():
+        return
     addr = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
-        jax.distributed.initialize(coordinator_address=addr)
+    if not addr:
+        return
+    if num_processes is None:
+        env_np = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env_np) if env_np else None
+    if process_id is None:
+        env_pid = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env_pid) if env_pid is not None else None
+    # config read only — must not instantiate a backend before initialize()
+    if str(jax.config.jax_platforms or "").startswith("cpu"):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_local_to_global(mesh: Mesh, pytree, spec: P = P(SCENARIO_AXIS)):
+    """Assemble per-process scenario shards into global sharded arrays.
+
+    Each process holds its own slice of the scenario batch (leading axis);
+    under a multi-process mesh the jitted sweep needs GLOBAL arrays. No-op
+    in single-process runtimes, so sweep drivers call it unconditionally.
+    """
+    if jax.process_count() == 1:
+        return pytree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        pytree, mesh, spec
+    )
 
 
 def make_mesh(

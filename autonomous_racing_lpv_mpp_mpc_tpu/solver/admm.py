@@ -75,7 +75,10 @@ class ADMMState(NamedTuple):
     r_dual: jnp.ndarray     # scalar
     eps_prim: jnp.ndarray   # scalar
     eps_dual: jnp.ndarray   # scalar
-    primal_infeasible: jnp.ndarray = jnp.asarray(False)  # certificate flag
+    # plain False, not jnp.asarray(False): a module-level array would
+    # initialise the XLA backend at import time, which breaks
+    # jax.distributed.initialize() in multi-process runtimes
+    primal_infeasible: jnp.ndarray = False  # certificate flag
 
 
 class ADMMSolution(NamedTuple):
@@ -88,7 +91,7 @@ class ADMMSolution(NamedTuple):
     converged: jnp.ndarray  # bool scalar
     iters: jnp.ndarray      # int32 iterations actually informative
     rho: jnp.ndarray        # final rho
-    primal_infeasible: jnp.ndarray = jnp.asarray(False)  # OSQP certificate
+    primal_infeasible: jnp.ndarray = False  # OSQP certificate (see note above)
 
 
 def _folded_cost(qp: BoxQP, rho, sigma) -> LQRCost:

@@ -1,0 +1,62 @@
+"""Checkpoint/resume of a real sweep (SURVEY.md §5; VERDICT r1 missing #7):
+a sweep is killed mid-way (simulated by running only the first chunks),
+resumed from the orbax `latest` checkpoint, and the final metrics must
+equal an uninterrupted run bit-for-bit."""
+
+import jax
+import numpy as np
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+    MPCConfig,
+    SolverConfig,
+    VehicleParams,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.loop import constant_refs
+from autonomous_racing_lpv_mpp_mpc_tpu.parallel import make_mesh
+from autonomous_racing_lpv_mpp_mpc_tpu.parallel.scenarios import (
+    checkpointed_sweep,
+    make_scenario_grid,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track
+
+
+def test_kill_and_resume_equals_uninterrupted(tmp_path):
+    p = VehicleParams()
+    cfg = MPCConfig(N=8, model="dynamic")
+    scfg = SolverConfig(max_iter=15, rho_interval=0)
+    track = oval_track()
+    x_ref = constant_refs(cfg, 1.4)
+    scen = make_scenario_grid(p, cfg, n_ey=8, n_mu=1, vx0=1.0)
+    mesh = make_mesh()
+    T, K = 12, 4
+
+    # uninterrupted reference run
+    m_ref, steps = checkpointed_sweep(
+        mesh, scen, cfg, scfg, track, x_ref, T,
+        checkpoint_dir=str(tmp_path / "ref"), save_every=K)
+    assert steps == T
+
+    # "killed" run: only the first 2 chunks execute before the process dies
+    m_part, steps = checkpointed_sweep(
+        mesh, scen, cfg, scfg, track, x_ref, 2 * K,
+        checkpoint_dir=str(tmp_path / "kill"), save_every=K)
+    assert steps == 2 * K
+
+    # restart: latest-resume finishes the remaining chunk only...
+    m_res, steps = checkpointed_sweep(
+        mesh, scen, cfg, scfg, track, x_ref, T,
+        checkpoint_dir=str(tmp_path / "kill"), save_every=K)
+    assert steps == T - 2 * K
+
+    # ...and the final metrics equal the uninterrupted run's exactly
+    for a, b in zip(jax.tree.leaves(m_res), jax.tree.leaves(m_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m_ref.converged_frac) > 0.9
+
+    # a fresh call on a FINISHED directory re-runs nothing
+    m_again, steps = checkpointed_sweep(
+        mesh, scen, cfg, scfg, track, x_ref, T,
+        checkpoint_dir=str(tmp_path / "kill"), save_every=K)
+    assert steps == 0
+    for a, b in zip(jax.tree.leaves(m_again), jax.tree.leaves(m_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
