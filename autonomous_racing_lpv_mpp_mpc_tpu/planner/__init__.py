@@ -1,7 +1,7 @@
 from .velocity_profile import curvature_speed_limit, velocity_profile
 from .reftable import RefTable, refs_from_table
 from .mpp import MPPDiag, plan_mpp
-from .online import ReplanLog, replanning_loop
+from .online import ReplanLog, pipelined_replanning_loop, replanning_loop
 from .opponents import (
     OpponentSet,
     collision_trace,
@@ -23,6 +23,7 @@ __all__ = [
     "min_gap_trace",
     "collision_trace",
     "ReplanLog",
+    "pipelined_replanning_loop",
     "replanning_loop",
     "curvature_speed_limit",
     "velocity_profile",

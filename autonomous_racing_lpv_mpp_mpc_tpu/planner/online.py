@@ -106,3 +106,115 @@ def replanning_loop(
         replan_steps=np.asarray(replan_steps),
         plan_progress=np.asarray(spans),
     )
+
+
+def _boundary_predictor(cfg: MPCConfig, steps: int):
+    """Jitted predictor of the tracker state at the NEXT segment boundary:
+    integrate arc length along the current table's velocity profile and
+    read the racing line there. Crude on purpose — it only SEEDS the
+    pipelined planner (latency compensation); the tracker absorbs the
+    residual like any reference deviation."""
+
+    @jax.jit
+    def predict(table: RefTable, x):
+        def body(s, _):
+            v, _ey, _dl = table.lookup(s)
+            return s + v * cfg.dt, None
+
+        s_end, _ = jax.lax.scan(body, x[4], None, length=steps)
+        v, ey, _dl = table.lookup(s_end)
+        z = jnp.zeros((), jnp.float32)
+        return jnp.stack([v, z, z, z, s_end, ey])
+
+    return predict
+
+
+def pipelined_replanning_loop(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    pcfg: MPPConfig,
+    track: Track,
+    x0: jnp.ndarray,
+    T: int,
+    replan_every: int = 60,
+    obstacles_fn: Optional[Callable[[int], Optional[jnp.ndarray]]] = None,
+    sim_tire: Optional[str] = None,
+    plan_scfg: Optional[SolverConfig] = None,
+    max_obstacle_rows: int = 8,
+    planner_device=None,
+) -> ReplanLog:
+    """Pipeline-parallel replanning (SURVEY.md §2.2 "planner->tracker
+    pipelining"; VERDICT r1 coverage row 14): the planner for segment k+1
+    executes CONCURRENTLY with tracking segment k.
+
+    Mechanics: the tracker segment is dispatched (JAX async) on the
+    tracker device; the planner SQP for the next segment is then dispatched
+    on ``planner_device`` (default: the second device when one exists) from
+    the boundary state PREDICTED along the current table — the standard
+    latency-compensation offset of pipelined MPC hierarchies. The only
+    cross-device traffic is the small RefTable + predicted state at each
+    boundary; with a single device the loop still works (dispatch overlap
+    only).
+
+    vs ``replanning_loop`` (serial): same API, same obstacle semantics; the
+    tracker never stalls for the planner's SQP, so wall time per segment is
+    max(tracker, planner) instead of their sum.
+    """
+    from ..loop.mpc import mpc_init
+    from .opponents import pad_blocks
+
+    assert cfg.model == pcfg.model == "dynamic"
+    devs = jax.devices()
+    tracker_dev = devs[0]
+    planner_dev = planner_device if planner_device is not None else (
+        devs[1] if len(devs) > 1 else devs[0])
+    put_t = lambda t: jax.device_put(t, tracker_dev)
+    put_p = lambda t: jax.device_put(t, planner_dev)
+
+    p_t, track_t = put_t((p, track))
+    p_p, track_p = put_p((p, track))
+    segment = _track_segment(p_t, cfg, scfg, track_t, replan_every, sim_tire)
+    predict = _boundary_predictor(cfg, replan_every)
+
+    def plan(x_state, obs_raw):
+        obs = (put_p(jnp.asarray(pad_blocks(obs_raw, max_obstacle_rows)))
+               if obs_raw is not None else None)
+        return plan_mpp(p_p, pcfg, track_p, scfg=plan_scfg, obstacles=obs,
+                        x0_state=put_p(x_state))
+
+    x = put_t(jnp.asarray(x0))
+    carry = mpc_init(p_t, cfg, track_t, x)
+    table, diag = plan(x, obstacles_fn(0) if obstacles_fn else None)
+    logs: List = []
+    replan_steps, spans = [0], [float(diag.progress)]
+
+    t = 0
+    while t < T:
+        obs_now = obstacles_fn(t) if obstacles_fn is not None else None
+        obs_t = (put_t(jnp.asarray(pad_blocks(obs_now, max_obstacle_rows)))
+                 if obs_now is not None else None)
+        table_t = put_t(table)
+        # 1. tracker segment: async dispatch on the tracker device
+        x_f, carry_f, log = segment(x, carry, table_t, obs_t)
+        # 2. planner for the NEXT segment: dispatched on the planner device
+        #    while the tracker executes — no dependency on x_f
+        t_next = t + replan_every
+        if t_next < T:
+            x_pred = predict(table_t, x)
+            table_next, diag = plan(
+                x_pred, obstacles_fn(t_next) if obstacles_fn else None)
+            replan_steps.append(t_next)
+            spans.append(float(diag.progress))
+            table = table_next
+        # 3. join the segment
+        x, carry = x_f, carry_f
+        logs.append(log)
+        t = t_next
+
+    cat = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0), *logs)
+    return ReplanLog(
+        log=cat,
+        replan_steps=np.asarray(replan_steps),
+        plan_progress=np.asarray(spans),
+    )

@@ -10,7 +10,11 @@ from .riccati import (
 )
 from .admm import ADMMSolution, BoxQP, admm_solve, admm_solve_single, qp_objective
 from .polish import PolishResult, polish, stack_boxqp_jax
-from .production import polish_solution, production_solve
+from .production import (
+    certify_primal_infeasibility,
+    polish_solution,
+    production_solve,
+)
 from .scaling import (
     RowScaling,
     admm_solve_equilibrated,
@@ -22,6 +26,7 @@ from .scaling import (
 __all__ = [
     "PolishResult",
     "polish",
+    "certify_primal_infeasibility",
     "polish_solution",
     "production_solve",
     "stack_boxqp_jax",

@@ -19,6 +19,11 @@ from autonomous_racing_lpv_mpp_mpc_tpu.loop import constant_refs
 from autonomous_racing_lpv_mpp_mpc_tpu.solver import admm_solve, qp_objective
 from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track
 
+import pytest
+
+pytestmark = pytest.mark.quick  # smoke tier: see pyproject markers
+
+
 P = VehicleParams()
 
 

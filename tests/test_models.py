@@ -18,6 +18,9 @@ from autonomous_racing_lpv_mpp_mpc_tpu.models import (
     tire_force_pacejka,
 )
 
+pytestmark = pytest.mark.quick  # smoke tier: see pyproject markers
+
+
 P = VehicleParams()
 
 

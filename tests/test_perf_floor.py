@@ -1,0 +1,170 @@
+"""Performance-regression floors + latency budget (SURVEY.md §4.6;
+VERDICT r1 missing #6). Runs ONLY on a real TPU chip:
+
+    ARLMT_TPU_TESTS=1 python -m pytest tests/test_perf_floor.py -m tpu -n0
+
+(tests/conftest.py skips the CPU-forcing when ARLMT_TPU_TESTS=1.) Floors
+are set from the round-1 driver bench (BENCH_r01.json: 865,859 solves/s
+mega) with ~30% headroom for noise/diagnostic additions; the latency
+budget is the 33 ms control period measured ON-DEVICE (a scan of K steps
+divided by K, so the axon tunnel's ~25 ms dispatch does not pollute it —
+VERDICT r1 weak #8)."""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        os.environ.get("ARLMT_TPU_TESTS") != "1"
+        or jax.devices()[0].platform == "cpu",
+        reason="perf floors need a real TPU chip (set ARLMT_TPU_TESTS=1)",
+    ),
+]
+
+# floors (solves/s/chip) — update only when a faster round RAISES them
+MEGA_FLOOR = 600_000.0
+FUSED_FLOOR = 300_000.0
+XLA_FLOOR = 15_000.0
+LATENCY_BUDGET_MS = 33.3  # one control period at dt = 1/30
+
+
+def _throughput(backend: str, B: int = 4096, K: int = 10) -> float:
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+        MPCConfig,
+        SolverConfig,
+        VehicleParams,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+        constant_refs,
+        mpc_init,
+        mpc_step_batched,
+        plant_step,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel import make_scenario_grid
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+    p = VehicleParams()
+    cfg = MPCConfig(N=20, model="dynamic")
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.8)
+    scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=max(1, B // 64),
+                              vx0=1.5)
+    B = scen.batch
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
+
+    if backend == "mega":
+        from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+            megastep,
+            megastep_init,
+            megastep_params,
+        )
+
+        prm = megastep_params(scen.params, B)
+        carries = megastep_init(scen.params, cfg, track, scen.x0)
+
+        @jax.jit
+        def k_steps(carries):
+            def body(c, _):
+                c2, _u0, diag = megastep(cfg, scfg, track, prm, x_ref, c,
+                                         n_sub=4)
+                return c2, jnp.mean(diag[2])
+
+            return jax.lax.scan(body, carries, None, length=K)
+
+        carries, _ = jax.block_until_ready(k_steps(carries))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(k_steps(carries))
+            best = min(best, time.perf_counter() - t0)
+            carries = out[0]
+        return B * K / best
+
+    carries = jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
+        scen.x0, scen.params)
+
+    @jax.jit
+    def k_steps(xs, carries):
+        def body(c, _):
+            xs_i, car_i = c
+            u_b, car2, diag = mpc_step_batched(
+                scen.params, cfg, scfg, track, xs_i, x_ref, car_i)
+            xs2 = jax.vmap(
+                lambda pp, x, u: plant_step(pp, cfg, track, x, u, n_sub=4)
+            )(scen.params, xs_i, u_b)
+            return (xs2, car2), jnp.mean(diag.converged.astype(jnp.float32))
+
+        return jax.lax.scan(body, (xs, carries), None, length=K)
+
+    state = jax.block_until_ready(k_steps(scen.x0, carries))[0]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, _ = jax.block_until_ready(k_steps(*state))
+        best = min(best, time.perf_counter() - t0)
+    return B * K / best
+
+
+def test_megastep_throughput_floor():
+    thr = _throughput("mega")
+    assert thr >= MEGA_FLOOR, f"megastep regressed: {thr:,.0f} < {MEGA_FLOOR:,.0f}"
+
+
+def test_fused_throughput_floor():
+    thr = _throughput("fused")
+    assert thr >= FUSED_FLOOR, f"fused regressed: {thr:,.0f} < {FUSED_FLOOR:,.0f}"
+
+
+def test_xla_throughput_floor():
+    thr = _throughput("xla", B=1024)
+    assert thr >= XLA_FLOOR, f"xla path regressed: {thr:,.0f} < {XLA_FLOOR:,.0f}"
+
+
+def test_on_device_single_scenario_latency_budget():
+    """Real-time claim, load-bearing: ONE scenario's receding-horizon step
+    (schedule, assemble, solve, plant) must fit the 33 ms control period
+    measured on-device (scan of K steps / K)."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+        MPCConfig,
+        SolverConfig,
+        VehicleParams,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+        constant_refs,
+        mpc_init,
+        mpc_step,
+        plant_step,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+    p = VehicleParams()
+    cfg = MPCConfig(N=20, model="dynamic")
+    scfg = SolverConfig(max_iter=30, rho_interval=0)
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.8)
+    x0 = jnp.array([1.5, 0.0, 0.0, 0.0, 0.0, 0.0])
+    K = 100
+
+    @jax.jit
+    def k_steps(x, carry):
+        def body(c, _):
+            x_, cc = c
+            u, cc2, d = mpc_step(p, cfg, scfg, track, x_, x_ref, cc)
+            return (plant_step(p, cfg, track, x_, u, n_sub=4), cc2), d.converged
+
+        return jax.lax.scan(body, (x, carry), None, length=K)
+
+    state = jax.block_until_ready(k_steps(x0, mpc_init(p, cfg, track, x0)))[0]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, conv = jax.block_until_ready(k_steps(*state))
+        best = min(best, time.perf_counter() - t0)
+    per_step_ms = best / K * 1e3
+    assert per_step_ms <= LATENCY_BUDGET_MS, f"{per_step_ms:.2f} ms/step"
+    assert float(conv.mean()) > 0.95

@@ -142,3 +142,39 @@ def test_mpp_obstacle_shifts_corridor():
     assert ey_obs.min() > 0.05                          # clears the obstacle
     ey_free = np.asarray(table_free.lookup(s_probe)[1])
     assert ey_obs.mean() > ey_free.mean()
+
+
+def test_pipelined_replanning_matches_serial_behavior():
+    """PP (SURVEY.md §2.2 row 14): planner for segment k+1 runs on a second
+    device concurrently with tracking segment k. Same scenario as the
+    serial test above — the obstacle appearing mid-run must still be
+    avoided, lapping must continue, and the planner must actually have run
+    on the second fake device."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.planner import (
+        pipelined_replanning_loop,
+    )
+
+    track = oval_track()
+    cfg = MPCConfig(N=16, model="dynamic")
+    scfg = SolverConfig(max_iter=60, rho_interval=20)
+    pcfg = MPPConfig(H=192, n_sqp=2)
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+    def obstacles_fn(t):
+        if t >= 60:
+            return jnp.asarray([[4.0, 5.0, -0.4, 0.1]], jnp.float32)
+        return None
+
+    assert len(jax.devices()) >= 2  # fake-8 mesh
+    res = pipelined_replanning_loop(
+        P, cfg, scfg, pcfg, track, x0, T=240,
+        replan_every=60, obstacles_fn=obstacles_fn,
+        planner_device=jax.devices()[1])
+    X = np.asarray(res.log.X)
+    L = float(track.length)
+    assert X[-1, 4] > 1.5 * L
+    assert np.asarray(res.log.converged).mean() > 0.9
+    s_mod = X[:, 4] % L
+    mask = (np.arange(X.shape[0]) > 80) & (s_mod > 4.3) & (s_mod < 4.7)
+    assert mask.any()
+    assert X[mask, 5].min() > 0.1

@@ -25,6 +25,9 @@ from autonomous_racing_lpv_mpp_mpc_tpu.solver import (
     riccati_factor_scan,
 )
 
+pytestmark = pytest.mark.quick  # smoke tier: see pyproject markers
+
+
 N, NX, NU = 8, 4, 2
 
 
