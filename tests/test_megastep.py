@@ -236,8 +236,11 @@ def test_megastep_iters_diag_matches_xla():
     from autonomous_racing_lpv_mpp_mpc_tpu.solver import admm_solve
 
     p, p_b, cfg, track, x_ref, x0 = _setup()
-    # eps loose enough that some scenarios terminate mid-run
-    scfg = SolverConfig(max_iter=25, rho_interval=0,
+    # eps loose enough that some scenarios terminate mid-run;
+    # check_termination=1 -> the kernel checks every iteration, so the
+    # done-at must match the XLA path's exactly (the default cadence of 5
+    # rounds done-at up to the next multiple, OSQP check_interval style)
+    scfg = SolverConfig(max_iter=25, rho_interval=0, check_termination=1,
                         eps_abs=3e-3, eps_rel=3e-3)
 
     # XLA reference: same warm start / QP as the megastep's first step
