@@ -64,6 +64,27 @@ def config1(p: VehicleParams, scfg: SolverConfig, T: int = 400,
     return _lap_result(cfg, track, log, vx_ref=1.5)
 
 
+def config1_planner(p: VehicleParams, scfg: SolverConfig, T: int = 500,
+                    plot: str = "", **kw) -> Dict:
+    """Kinematic planner -> tracker pipeline: BASELINE config 1's model
+    driven by the full config3-style MPP racing line (VERDICT r2 missing
+    #3 — the planner stack is model-generic, not dynamic-only)."""
+    cfg = MPCConfig(N=10, model="kinematic",
+                    weights=MPCWeights.for_model("kinematic"))
+    track = oval_track()
+    pcfg = MPPConfig.for_model("kinematic", H=256, n_sqp=3)
+    table, diag = plan_mpp(p, pcfg, track)
+    scfg_t = scfg.replace(max_iter=max(scfg.max_iter, 100))
+    x0 = jnp.array([0.5, 0.0, 0.0, 0.0])
+    log = closed_loop(p, cfg, scfg_t, track, x0, table, T=T)
+    _maybe_plot(cfg, track, log, plot)
+    return _lap_result(
+        cfg, track, log,
+        extra={"planner_lap_time_s": round(float(diag.lap_time), 3),
+               "planner_sqp_converged": bool(np.asarray(diag.converged).all())},
+    )
+
+
 def config2(p: VehicleParams, scfg: SolverConfig, T: int = 700,
             plot: str = "", **kw) -> Dict:
     """Dynamic bicycle (Pacejka plant), N=20, full racetrack lap."""
@@ -134,35 +155,63 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
             T: int = 30, **kw) -> Dict:
     """Mesh-wide sweep with collective metric reduction (all devices).
 
-    On a >1-device mesh the same per-device workload is also timed on a
-    single device and a weak-scaling efficiency is reported (BASELINE
-    north star: >= 80%; VERDICT r1 missing #4's measurement harness)."""
+    Weak-scaling efficiency (BASELINE north star: >= 80% on >= 2 hosts) is
+    reported on every >1-device mesh, multi-process aware (VERDICT r2
+    missing #1):
+
+    - **multi-process** (``jax.distributed`` — a pod's DCN, or the CI
+      2-process gloo runtime): each process also times ITS OWN per-process
+      workload on a local-devices-only mesh (no cross-process collectives),
+      concurrently with every other process so hardware contention is
+      matched; efficiency = max_p(t_local) / t_global for identical
+      per-process work. This measures exactly the cross-process boundary
+      cost. Exercised by a REAL 2-process runtime in
+      tests/test_multiprocess.py::test_two_process_scaling_efficiency.
+    - **single-process multi-device** (fake-8 CI, one host's chips): the
+      same per-device workload timed on one device; efficiency =
+      global_throughput / (n_dev * single_device_throughput).
+    """
     cfg = MPCConfig(N=14, model="dynamic")
     track = racetrack()
     mesh = make_mesh()
     n_dev = int(np.prod(list(mesh.shape.values())))
+    n_proc = jax.process_count()
     B = per_device * n_dev
     scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=max(1, B // 64),
                               vx0=1.5)
-    # trim to a multiple of the mesh
+    # trim to a multiple of the mesh (and of the process count: n_dev is a
+    # multiple of n_proc, every process owns the same number of devices)
     Bm = (scen.batch // n_dev) * n_dev
     scen = jax.tree.map(lambda a: a[:Bm], scen)
     x_ref = constant_refs(cfg, 1.8)
 
-    def timed_run(mesh_, scen_):
+    def barrier(tag):
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    def timed_run(mesh_, scen_, tag):
         run = jax.jit(lambda s: sharded_closed_loop(
             mesh_, s, cfg, scfg, track, x_ref, T=T, sim_tire="pacejka"))
         _log, m = jax.block_until_ready(run(scen_))      # compile + warm
+        barrier(tag)                                     # lockstep start
         t0 = time.perf_counter()
         _log, m = jax.block_until_ready(run(scen_))
         return m, time.perf_counter() - t0
 
     from ..parallel import host_local_to_global
 
-    scen_g = host_local_to_global(mesh, scen)
-    metrics, dt_wall = timed_run(mesh, scen_g)
+    # every process builds the same global grid; its host-local shard is
+    # its contiguous slice (tests/_mp_worker.py layout)
+    b_loc = Bm // n_proc
+    pid = jax.process_index()
+    scen_local = jax.tree.map(lambda a: a[pid * b_loc:(pid + 1) * b_loc], scen)
+    scen_g = host_local_to_global(mesh, scen_local if n_proc > 1 else scen)
+    metrics, dt_wall = timed_run(mesh, scen_g, "config5_global")
     out = {
         "devices": n_dev,
+        "processes": n_proc,
         "batch": Bm,
         "total_solves": Bm * T,
         "solves_per_s": round(Bm * T / dt_wall, 1),
@@ -170,10 +219,24 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
         "converged_frac": round(float(metrics.converged_frac), 3),
         "mean_progress_m": round(float(metrics.mean_progress), 2),
     }
-    if n_dev > 1 and jax.process_count() == 1:
+    if n_proc > 1:
+        # per-process baseline: the SAME per-process workload on the local
+        # devices only — all processes time concurrently (contention
+        # matched), no cross-process collectives on this path
+        from jax.experimental import multihost_utils
+
+        mesh_loc = make_mesh(devices=jax.local_devices())
+        _, dt_loc = timed_run(mesh_loc, scen_local, "config5_local")
+        dt_loc_max = float(
+            multihost_utils.process_allgather(jnp.asarray(dt_loc)).max())
+        out["solves_per_s_local"] = round(b_loc * T / dt_loc, 1)
+        out["local_wall_s_max"] = round(dt_loc_max, 4)
+        out["scaling_efficiency"] = round(dt_loc_max / dt_wall, 3)
+    elif n_dev > 1:
         b1 = Bm // n_dev
         mesh1 = make_mesh(devices=jax.devices()[:1])
-        _, dt1 = timed_run(mesh1, jax.tree.map(lambda a: a[:b1], scen))
+        _, dt1 = timed_run(mesh1, jax.tree.map(lambda a: a[:b1], scen),
+                           "config5_1dev")
         thr1 = b1 * T / dt1
         out["solves_per_s_1dev"] = round(thr1, 1)
         out["scaling_efficiency"] = round(
@@ -241,6 +304,7 @@ def latency(p: VehicleParams, scfg: SolverConfig, batch: int = 128,
 
 PRESETS: Dict[str, Callable] = {
     "config1": config1,
+    "config1_planner": config1_planner,
     "config2": config2,
     "config3": config3,
     "config4": config4,

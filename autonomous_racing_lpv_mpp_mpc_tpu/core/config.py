@@ -169,6 +169,15 @@ class SolverConfig:
     # the converged iterate, OFF by default like OSQP.
     equilibrate: bool = struct.field(pytree_node=False, default=True)
     polish: bool = struct.field(pytree_node=False, default=False)
+    # exact Farkas primal-infeasibility certification
+    # (solver/production.py::certify_primal_infeasibility): when the
+    # in-solver settled-dual heuristic fires, mpc_step/mpc_step_batched
+    # confirm it with OSQP §3.4's certificate conditions and surface the
+    # result as MPCDiag.certified_infeasible (SURVEY.md §5 "Failure
+    # detection"). lax.cond keeps the certificate off the hot path on the
+    # single-solve route; under vmap both branches execute, so flip this
+    # off for throughput sweeps that cannot hit infeasible corridors.
+    certify_infeasibility: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -201,6 +210,16 @@ class MPPConfig:
     bounds: MPCBounds = dataclasses.field(default_factory=MPCBounds)
     # resolution of the emitted reference table [m]
     ds_ref: float = struct.field(pytree_node=False, default=0.05)
+
+    @classmethod
+    def for_model(cls, model: str, **kw) -> "MPPConfig":
+        """Per-model defaults aligned with the state vector ordering
+        (BASELINE config 1 planner->tracker uses the kinematic variant)."""
+        if model == "dynamic":     # (vx, vy, wz, e_psi, s, e_y)
+            return cls(model="dynamic", **kw)
+        if model == "kinematic":   # (vx, e_psi, s, e_y)
+            return cls(model="kinematic", q_trust=(0.0, 5.0, 0.0, 5.0), **kw)
+        raise ValueError(model)
 
 
 @struct.dataclass

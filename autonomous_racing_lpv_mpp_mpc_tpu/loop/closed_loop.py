@@ -31,6 +31,10 @@ class ClosedLoopLog(NamedTuple):
     iters: jnp.ndarray      # (T,)
     r_prim: jnp.ndarray     # (T,)
     r_dual: jnp.ndarray     # (T,)
+    # (T,) exact Farkas certificate per step (loop/mpc.py::MPCDiag;
+    # SURVEY.md §5 "Failure detection"): True only when the settled-dual
+    # heuristic fired AND OSQP §3.4's certificate conditions confirmed it.
+    certified_infeasible: jnp.ndarray = False
 
 
 class ClosedLoopLogPred(NamedTuple):
@@ -43,6 +47,7 @@ class ClosedLoopLogPred(NamedTuple):
     iters: jnp.ndarray
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
+    certified_infeasible: jnp.ndarray
     X_pred: jnp.ndarray     # (T, N+1, nx) prediction made at each step
 
 
@@ -94,7 +99,8 @@ def closed_loop(
         x, mpc_carry = carry
         u, mpc_carry, diag = mpc_step(p, cfg, scfg, track, x, x_ref, mpc_carry)
         x_next = plant_step(p, cfg, track, x, u, n_sub=n_sub, sim_tire=sim_tire)
-        out = (x_next, u, diag.converged, diag.iters, diag.r_prim, diag.r_dual)
+        out = (x_next, u, diag.converged, diag.iters, diag.r_prim, diag.r_dual,
+               diag.certified_infeasible)
         if log_predictions:
             out = out + (mpc_carry.X_pred,)
         return (x_next, mpc_carry), out

@@ -41,6 +41,13 @@ class MPCDiag(NamedTuple):
     iters: jnp.ndarray
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
+    # exact Farkas certificate, evaluated only when the in-solver
+    # settled-dual heuristic fires (SURVEY.md §5 "Failure detection";
+    # solver/production.py::certify_primal_infeasibility). False whenever
+    # the heuristic did not fire, certification is disabled
+    # (SolverConfig.certify_infeasibility), or the backend cannot assemble
+    # the stacked problem (fused kernel without polish).
+    certified_infeasible: jnp.ndarray = False
 
 
 def constant_refs(cfg: MPCConfig, vx_ref: float, ey_ref: float = 0.0) -> jnp.ndarray:
@@ -143,7 +150,48 @@ def mpc_prepare_light(
     return X_sched, U_sched, kappas, x_ref, lb, ub, x0a, (s_w, lam_w, Xa_w, U_sched)
 
 
-def _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol):
+def _certified_infeasible(qp, scfg, sol):
+    """Exact certificate, gated behind the cheap heuristic flag.
+
+    ``lax.cond`` keeps the ~10 extra reduced iterations + dual recovery off
+    the path whenever the settled-dual heuristic is quiet (the overwhelmingly
+    common case). Under vmap the cond lowers to a select and both branches
+    run — SolverConfig.certify_infeasibility documents the trade."""
+    from ..solver.production import certify_primal_infeasibility
+
+    if qp is None or not scfg.certify_infeasibility:
+        return jnp.asarray(False)
+    flag = jnp.asarray(sol.primal_infeasible, bool)
+    return jax.lax.cond(
+        flag,
+        lambda: certify_primal_infeasibility(qp, scfg, sol)[0],
+        lambda: jnp.asarray(False),
+    )
+
+
+def _certified_infeasible_batch(qp_b, scfg, sol_b):
+    """Batched certificate behind a SCALAR any-flag branch.
+
+    A per-element ``lax.cond`` under vmap lowers to a select that executes
+    both branches for the whole batch every step; gating on
+    ``jnp.any(primal_infeasible)`` keeps the hot sweep path certificate-free
+    (one scalar reduce) and pays the vmapped certificate only on the rare
+    step where some scenario's heuristic actually fires."""
+    flags = jnp.asarray(sol_b.primal_infeasible, bool)
+    if qp_b is None or not scfg.certify_infeasibility:
+        return jnp.zeros_like(flags)
+    from ..solver.production import certify_primal_infeasibility
+
+    def run_all():
+        cert = jax.vmap(
+            lambda q, s: certify_primal_infeasibility(q, scfg, s)[0]
+        )(qp_b, sol_b)
+        return jnp.logical_and(flags, cert)
+
+    return jax.lax.cond(jnp.any(flags), run_all, lambda: jnp.zeros_like(flags))
+
+
+def _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol, qp=None):
     """Fallback logic + carry update shared by single and batched steps."""
     nx = model_nx(cfg.model)
 
@@ -178,6 +226,7 @@ def _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol):
     diag = MPCDiag(
         converged=sol.converged, iters=sol.iters,
         r_prim=sol.r_prim, r_dual=sol.r_dual,
+        certified_infeasible=_certified_infeasible(qp, scfg, sol),
     )
     return u, new_carry, diag
 
@@ -201,7 +250,7 @@ def mpc_step(
     """
     qp, warm, U_sched = mpc_prepare(p, cfg, track, x, x_ref, carry, obstacles)
     sol = production_solve(qp, scfg, warm=warm, rho0=carry.rho)
-    return _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol)
+    return _post_solve(p, cfg, scfg, track, x, warm, U_sched, sol, qp=qp)
 
 
 def mpc_step_batched(
@@ -247,6 +296,15 @@ def mpc_step_batched(
         lambda pp, x, c: mpc_prepare(pp, cfg, track, x, x_ref, c)
     )(p_b, x_b, carry_b)
 
+    def post(p_b, x_b, warm_b, U_sched_b, sol_b, qp_b):
+        u, car, diag = jax.vmap(
+            lambda pp, x, w, us, s: _post_solve(
+                pp, cfg, scfg, track, x, w, us, s)
+        )(p_b, x_b, warm_b, U_sched_b, sol_b)
+        return u, car, diag._replace(
+            certified_infeasible=_certified_infeasible_batch(qp_b, scfg, sol_b)
+        )
+
     if scfg.backend == "pallas":
         from ..ops.admm_kernel import pallas_admm_solve
         from ..solver.scaling import ruiz_row_equilibrate, unscale_solution
@@ -269,6 +327,4 @@ def mpc_step_batched(
             lambda q, w, r: production_solve(q, scfg, warm=w, rho0=r)
         )(qp_b, warm_b, carry_b.rho)
 
-    return jax.vmap(
-        lambda pp, x, w, us, s: _post_solve(pp, cfg, scfg, track, x, w, us, s)
-    )(p_b, x_b, warm_b, U_sched_b, sol_b)
+    return post(p_b, x_b, warm_b, U_sched_b, sol_b, qp_b)

@@ -43,7 +43,8 @@ def _track_segment(p, cfg, scfg, track, T_seg, sim_tire):
             u, mc, diag = mpc_step(p, cfg, scfg, track, x, table, mc,
                                    obstacles=obstacles)
             x_next = plant_step(p, cfg, track, x, u, n_sub=10, sim_tire=sim_tire)
-            out = (x_next, u, diag.converged, diag.iters, diag.r_prim, diag.r_dual)
+            out = (x_next, u, diag.converged, diag.iters, diag.r_prim,
+                   diag.r_dual, diag.certified_infeasible)
             return (x_next, mc), out
 
         (x_f, carry_f), outs = jax.lax.scan(step, (x0, carry), None, length=T_seg)
@@ -79,7 +80,7 @@ def replanning_loop(
     from ..loop.mpc import mpc_init
     from .opponents import pad_blocks
 
-    assert cfg.model == pcfg.model == "dynamic"
+    assert cfg.model == pcfg.model, (cfg.model, pcfg.model)
     segment = _track_segment(p, cfg, scfg, track, replan_every, sim_tire)
     carry = mpc_init(p, cfg, track, x0)
     x = x0
@@ -113,7 +114,14 @@ def _boundary_predictor(cfg: MPCConfig, steps: int):
     integrate arc length along the current table's velocity profile and
     read the racing line there. Crude on purpose — it only SEEDS the
     pipelined planner (latency compensation); the tracker absorbs the
-    residual like any reference deviation."""
+    residual like any reference deviation. Model-generic: builds the state
+    via the model's (vx, s, e_y) indices (dynamic nx=6 / kinematic nx=4)."""
+    from ..engine.assembly import _s_index, state_indices
+    from ..models import model_nx
+
+    nx = model_nx(cfg.model)
+    s_i = _s_index(cfg.model)
+    vx_i, ey_i = state_indices(cfg.model)
 
     @jax.jit
     def predict(table: RefTable, x):
@@ -121,10 +129,10 @@ def _boundary_predictor(cfg: MPCConfig, steps: int):
             v, _ey, _dl = table.lookup(s)
             return s + v * cfg.dt, None
 
-        s_end, _ = jax.lax.scan(body, x[4], None, length=steps)
+        s_end, _ = jax.lax.scan(body, x[s_i], None, length=steps)
         v, ey, _dl = table.lookup(s_end)
-        z = jnp.zeros((), jnp.float32)
-        return jnp.stack([v, z, z, z, s_end, ey])
+        out = jnp.zeros((nx,), jnp.float32)
+        return out.at[vx_i].set(v).at[s_i].set(s_end).at[ey_i].set(ey)
 
     return predict
 
@@ -164,7 +172,7 @@ def pipelined_replanning_loop(
     from ..loop.mpc import mpc_init
     from .opponents import pad_blocks
 
-    assert cfg.model == pcfg.model == "dynamic"
+    assert cfg.model == pcfg.model, (cfg.model, pcfg.model)
     devs = jax.devices()
     tracker_dev = devs[0]
     planner_dev = planner_device if planner_device is not None else (

@@ -171,3 +171,65 @@ def test_closed_loop_vmaps_over_scenarios():
     # each scenario converges toward the centerline
     assert np.abs(np.asarray(logs.X[:, -1, 3])).max() < 0.1
     assert np.abs(np.asarray(logs.X[:, -1, 3])).max() < np.abs(np.asarray(x0s[:, 3])).max()
+
+
+def test_certified_infeasibility_in_closed_loop():
+    """SURVEY.md §5 "Failure detection" / VERDICT r2 missing #5: when a
+    closed loop is driven into an impossible hard corridor (vx box far
+    below the current speed — no admissible accel sequence can reach it in
+    one step), the settled-dual heuristic fires inside mpc_step AND the
+    exact Farkas certificate (solver/production.py) confirms it, surfaced
+    per step as ClosedLoopLog.certified_infeasible. A feasible lap never
+    raises the flag."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPCBounds
+
+    track = oval_track()
+    cfg_bad = MPCConfig(N=10, model="dynamic",
+                        bounds=MPCBounds(vx_max=0.8, vx_min=0.2))
+    scfg = SolverConfig(max_iter=200, rho_interval=25)
+    x0 = jnp.array([3.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    log = closed_loop(P, cfg_bad, scfg, track, x0, constant_refs(cfg_bad, 0.5),
+                      T=8)
+    cert = np.asarray(log.certified_infeasible)
+    conv = np.asarray(log.converged)
+    assert cert.dtype == bool and cert.shape == (8,)
+    # the impossible corridor is certified at the very first steps and the
+    # solver (correctly) never reports convergence
+    assert cert[:4].all()
+    assert not conv.any()
+    # the limp-home fallback keeps decelerating toward the corridor
+    assert float(log.X[-1, 0]) < float(x0[0])
+
+    # a feasible lap: flag never raised, loop converges as usual
+    cfg_ok = MPCConfig(N=10, model="dynamic")
+    x0_ok = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.05], jnp.float32)
+    log_ok = closed_loop(P, cfg_ok, scfg, track, x0_ok,
+                         constant_refs(cfg_ok, 1.5), T=60)
+    assert not np.asarray(log_ok.certified_infeasible).any()
+    assert np.asarray(log_ok.converged).mean() > 0.9
+
+
+def test_certified_infeasibility_batched_scalar_gate():
+    """mpc_step_batched surfaces the certificate too, behind a scalar
+    any-flag branch (loop/mpc.py::_certified_infeasible_batch): a batch
+    mixing feasible and impossible scenarios certifies exactly the
+    impossible ones."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPCBounds
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import mpc_step_batched
+
+    track = oval_track()
+    cfg = MPCConfig(N=10, model="dynamic",
+                    bounds=MPCBounds(vx_max=0.8, vx_min=0.2))
+    scfg = SolverConfig(max_iter=200, rho_interval=25)
+    B = 4
+    # scenarios 0/2 start far above the hard vx box (infeasible), 1/3 inside
+    vx0 = jnp.array([3.0, 0.5, 2.5, 0.6], jnp.float32)
+    x_b = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(vx0)
+    p_b = jax.tree.map(lambda l: jnp.broadcast_to(l, (B,) + jnp.shape(l)), P)
+    carry_b = jax.vmap(lambda x: mpc_init(P, cfg, track, x))(x_b)
+    x_ref = constant_refs(cfg, 0.5)
+    _u, _c, diag = jax.jit(
+        lambda xb, cb: mpc_step_batched(p_b, cfg, scfg, track, xb, x_ref, cb)
+    )(x_b, carry_b)
+    cert = np.asarray(diag.certified_infeasible)
+    assert cert.tolist() == [True, False, True, False]
