@@ -211,10 +211,21 @@ def corridor_from_blocks(sm, ey_lo, ey_hi, blocks, margin, half,
         up_w = up_lim - (o_hi + margin)   # usable width above the obstacle
         dn_w = (o_lo - margin) + dn_lim   # usable width below
         go_up = up_w >= dn_w
-        new_lo = jnp.where(go_up, o_hi + margin, -half)
-        new_hi = jnp.where(go_up, half, o_lo - margin)
+        # clamp the moved bound to the track edge so a block that (with
+        # margin) reaches the edge can never emit an inverted corridor
+        # (ey_lo > ey_hi) — downstream jnp.clip with lb > ub would silently
+        # pin to ub and override the side choice (round-2 advisor finding).
+        new_lo = jnp.where(go_up, jnp.minimum(o_hi + margin, half), -half)
+        new_hi = jnp.where(go_up, half, jnp.maximum(o_lo - margin, -half))
         ey_lo = jnp.where(inside, jnp.maximum(ey_lo, new_lo), ey_lo)
         ey_hi = jnp.where(inside, jnp.minimum(ey_hi, new_hi), ey_hi)
+    # overlapping blocks choosing opposite sides can still cross the folds;
+    # collapse any residual inversion to the midpoint (zero-width corridor,
+    # handled by the soft e_y row) instead of letting clip() pick a side.
+    mid = 0.5 * (ey_lo + ey_hi)
+    inv = ey_lo > ey_hi
+    ey_lo = jnp.where(inv, mid, ey_lo)
+    ey_hi = jnp.where(inv, mid, ey_hi)
     return ey_lo, ey_hi
 
 

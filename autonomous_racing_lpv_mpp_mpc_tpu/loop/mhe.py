@@ -152,7 +152,11 @@ def mhe_step(
     # which measurement components carry s.
     s_idx = 4 if cfg.model == "dynamic" else 2
     measures_s = jnp.abs(H[:, s_idx]) > 0.5          # (m,) static-shape mask
-    ref = st.z_hist[-1]
+    # unwrap against the SMOOTHED estimate (H @ X_est[-1]), not the previous
+    # raw measurement: one outlier s measurement (error > L/2) in z_hist
+    # would otherwise corrupt the reference and wrap every subsequent
+    # measurement onto the wrong lap (round-2 advisor finding).
+    ref = H @ st.X_est[-1]
     L = track.length
     z_un = z + L * jnp.round((ref - z) / L)
     z = jnp.where(measures_s, z_un, z)

@@ -314,6 +314,13 @@ def mpc_step_batched(
             s_w, lam_w, Xa_w, U_w = warm_b
             d = sc_b.d[:, None]
             warm_s = (s_w * d, lam_w / d, Xa_w, U_w)
+            # INVARIANT (round-2 advisor finding): carry_b.rho was adapted on
+            # the SCALED problem here but on the original-row problem in the
+            # other backends. Mixing is consistent only because every
+            # in-framework constraint row is a +-1 selector, so Ruiz row
+            # scales are exactly d_i = 1 and scaled == original. External
+            # QPs with non-unit rows must not alternate backends mid-run
+            # while warm-starting rho (or must reset carry.rho on switch).
             sol_b = pallas_admm_solve(qp_s, scfg, warm=warm_s, rho0=carry_b.rho)
             sol_b = jax.vmap(unscale_solution)(sol_b, sc_b)
         else:

@@ -89,7 +89,19 @@ class ADMMSolution(NamedTuple):
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
     converged: jnp.ndarray  # bool scalar
-    iters: jnp.ndarray      # int32 iterations actually informative
+    # int32 iterations actually informative. Semantics are CADENCE-QUANTIZED
+    # across backends (round-2 advisor finding, documented invariant):
+    #   - solver/admm.py: exact first iteration at which termination held,
+    #     checked every `rho_interval`-chunked inner iteration.
+    #   - ops/admm_kernel.py: exact, checked per iteration; lanes first
+    #     converging on the final (out-of-loop) iteration report max_iter —
+    #     the same value the exact check would produce.
+    #   - ops/megastep_kernel.py: checked every `check_termination`
+    #     iterations (chunk boundary), so a lane converging mid-chunk
+    #     reports the NEXT chunk boundary — iters here can exceed the exact
+    #     done-at by at most check_termination - 1. Exactness there would
+    #     cost the straight-line hot loop (PERF.md round-3 cadence finding).
+    iters: jnp.ndarray
     rho: jnp.ndarray        # final rho
     primal_infeasible: jnp.ndarray = False  # OSQP certificate (see note above)
 

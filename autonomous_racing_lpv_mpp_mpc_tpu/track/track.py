@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -247,6 +248,20 @@ def global_to_frenet_windowed(track: Track, X, Y, psi, s_hint,
     the +-``window_m`` neighborhood (static size), argmin there, then the
     same tangent projection. Falls back to the same answer as the dense
     version whenever the true nearest node is inside the window.
+
+    Trace-time constraint: the window size ``W`` is computed from
+    ``float(track.ds)`` on the Python side, so ``track`` must be a closure
+    constant (or weak-typed concrete array) at trace time — passing a track
+    whose ``ds`` is a traced jit argument raises a ConcretizationError by
+    design rather than silently baking in a wrong window.
+
+    Robustness: if the nearest windowed node is implausibly far from the
+    query point (> ``window_m``, i.e. the hint was wrong by more than the
+    window covers), the result would silently lock onto the wrong segment;
+    instead a ``lax.cond`` falls back to the dense O(n_cells)
+    :func:`global_to_frenet`, which is hint-free. In a healthy closed loop
+    the fallback never fires (the car moves < 10 cm/step), so the common
+    path stays O(window).
     """
     n = track.X.shape[0] - 1
     W = max(2, int(window_m / float(track.ds)))
@@ -255,14 +270,23 @@ def global_to_frenet_windowed(track: Track, X, Y, psi, s_hint,
     idx = (i_hint + jnp.arange(-W, W + 1)) % n            # (2W+1,)
     dx = X - track.X[idx]
     dy = Y - track.Y[idx]
-    i = idx[jnp.argmin(dx * dx + dy * dy)]
-    tx = jnp.cos(track.psi[i])
-    ty = jnp.sin(track.psi[i])
-    ddx = X - track.X[i]
-    ddy = Y - track.Y[i]
-    along = ddx * tx + ddy * ty
-    e_y = -ddx * ty + ddy * tx
-    s = wrap_s(track, i.astype(jnp.float32) * track.ds + along)
-    pc = track.psi[i] + curvature_at(track, s) * along
-    e_psi = jnp.arctan2(jnp.sin(psi - pc), jnp.cos(psi - pc))
-    return s, e_y, e_psi
+    d2 = dx * dx + dy * dy
+
+    def windowed(_):
+        i = idx[jnp.argmin(d2)]
+        tx = jnp.cos(track.psi[i])
+        ty = jnp.sin(track.psi[i])
+        ddx = X - track.X[i]
+        ddy = Y - track.Y[i]
+        along = ddx * tx + ddy * ty
+        e_y = -ddx * ty + ddy * tx
+        s = wrap_s(track, i.astype(jnp.float32) * track.ds + along)
+        pc = track.psi[i] + curvature_at(track, s) * along
+        e_psi = jnp.arctan2(jnp.sin(psi - pc), jnp.cos(psi - pc))
+        return s, e_y, e_psi
+
+    def dense(_):
+        return global_to_frenet(track, X, Y, psi)
+
+    implausible = jnp.min(d2) > jnp.asarray(window_m * window_m, d2.dtype)
+    return jax.lax.cond(implausible, dense, windowed, None)

@@ -133,3 +133,54 @@ def test_ekf_in_the_loop():
     Xf = np.asarray(log.Xf)
     assert Xf[-1, 4] > 6.0
     assert np.abs(Xf[:, 5]).max() < 0.25
+
+
+def test_corridor_full_width_block_never_inverts():
+    """A block that (with margin) spans the whole track width must yield a
+    clamped zero-width corridor on the chosen side, never an inverted one
+    (ey_lo > ey_hi) — downstream jnp.clip with lb > ub silently pins to ub
+    and overrides the side choice (round-2 advisor finding)."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.engine.assembly import (
+        corridor_from_blocks,
+    )
+
+    half, margin = 0.4, 0.05
+    sm = jnp.linspace(0.0, 10.0, 21)
+    lo0 = jnp.full_like(sm, -half)
+    hi0 = jnp.full_like(sm, half)
+    # block + margin reaches BOTH edges: up_w and dn_w are both negative,
+    # go_up wins by a hair -> unclamped new_lo would be 0.43 > half
+    blocks = jnp.asarray([[2.0, 4.0, -0.39, 0.38]])
+    lo, hi = corridor_from_blocks(sm, lo0, hi0, blocks, margin, half)
+    assert bool(jnp.all(lo <= hi))
+    inside = (sm >= 2.0) & (sm <= 4.0)
+    # chosen side is ABOVE: corridor collapsed to the top edge
+    np.testing.assert_allclose(np.asarray(lo[inside]), half, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hi[inside]), half, atol=1e-6)
+    # outside the block the corridor is untouched
+    np.testing.assert_allclose(np.asarray(lo[~inside]), -half)
+    np.testing.assert_allclose(np.asarray(hi[~inside]), half)
+
+
+def test_corridor_opposite_side_overlap_collapses_to_midpoint():
+    """Two overlapping blocks whose individually-sane side choices conflict
+    (one forces ABOVE, the other BELOW) produce a residual inversion across
+    the folds; it must collapse to a zero-width midpoint corridor (handled
+    by the soft e_y row), not pass through inverted."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.engine.assembly import (
+        corridor_from_blocks,
+    )
+
+    half, margin = 0.4, 0.05
+    sm = jnp.linspace(0.0, 10.0, 21)
+    lo0 = jnp.full_like(sm, -half)
+    hi0 = jnp.full_like(sm, half)
+    blocks = jnp.asarray([
+        [2.0, 4.0, -0.35, 0.10],   # wider gap above -> go up: lo = 0.15
+        [3.0, 5.0, -0.10, 0.35],   # wider gap below -> go down: hi = -0.15
+    ])
+    lo, hi = corridor_from_blocks(sm, lo0, hi0, blocks, margin, half)
+    assert bool(jnp.all(lo <= hi))
+    both = (sm >= 3.0) & (sm <= 4.0)
+    np.testing.assert_allclose(np.asarray(lo[both]), np.asarray(hi[both]),
+                               atol=1e-6)

@@ -131,3 +131,33 @@ def test_mhe_poor_initial_guess_converges():
     )
     err_late = np.abs(np.asarray(X_hat[2 * mcfg.W:]) - np.asarray(X_true[2 * mcfg.W:])).max()
     assert err_late < 5e-3
+
+
+def test_mhe_single_s_outlier_does_not_wrap_subsequent_laps():
+    """One outlier s measurement (error > L/2) must NOT poison the unwrap
+    reference: the reference is the smoothed estimate H @ X_est[-1], not
+    the previous raw measurement (round-2 advisor finding, loop/mhe.py).
+    With a raw-measurement reference, every measurement AFTER the outlier
+    would be wrapped onto the wrong lap (s error ~ L forever)."""
+    track = oval_track()
+    L = float(track.length)
+    T = 60
+    U = drive_inputs(T)
+    x0 = jnp.array([1.2, 0.0, 0.0, 0.0, 0.0, 0.05])
+    X_true = simulate_truth(x0, U)
+    H = jnp.eye(NX)
+    Z = X_true @ H.T
+    # one corrupted s sample mid-run, off by 0.6 L (> L/2)
+    k = 25
+    Z = Z.at[k, 4].add(0.6 * L)
+    mcfg = MHEConfig(W=6, n_gn=2)
+    X_hat = run_filter(
+        mcfg, H, Qw=1e-4 * jnp.eye(NX), Rv=1e-4 * jnp.eye(NX),
+        P0=0.1 * jnp.eye(NX), Z=Z, U=U, x0_guess=x0,
+    )
+    s_err = np.abs(np.asarray(X_hat[:, 4]) - np.asarray(X_true[:, 4]))
+    # transient while the outlier is inside the window is allowed, but the
+    # estimate must stay on the CORRECT lap throughout...
+    assert s_err.max() < L / 4, s_err.max()
+    # ...and once the outlier leaves the window, full accuracy returns
+    assert s_err[k + mcfg.W + 2:].max() < 5e-3, s_err[k + mcfg.W + 2:].max()

@@ -4,11 +4,12 @@ VERDICT r1 missing #6). Runs ONLY on a real TPU chip:
     ARLMT_TPU_TESTS=1 python -m pytest tests/test_perf_floor.py -m tpu -n0
 
 (tests/conftest.py skips the CPU-forcing when ARLMT_TPU_TESTS=1.) Floors
-are set from the round-1 driver bench (BENCH_r01.json: 865,859 solves/s
-mega) with ~30% headroom for noise/diagnostic additions; the latency
-budget is the 33 ms control period measured ON-DEVICE (a scan of K steps
-divided by K, so the axon tunnel's ~25 ms dispatch does not pollute it —
-VERDICT r1 weak #8)."""
+ratchet UP only, set ~10% under each round's measured numbers (round 3:
+mega 903,231 solves/s — PERF.md table); the latency budget is the 33 ms
+control period measured ON-DEVICE (a scan of K steps divided by K, so the
+axon tunnel's ~25 ms dispatch does not pollute it); the compile-time
+budget catches Mosaic scheduling blowups like r2's 283.5 s cadence
+regression."""
 
 import os
 import time
@@ -26,10 +27,13 @@ pytestmark = [
     ),
 ]
 
-# floors (solves/s/chip) — update only when a faster round RAISES them
-MEGA_FLOOR = 600_000.0
-FUSED_FLOOR = 300_000.0
-XLA_FLOOR = 15_000.0
+# floors (solves/s/chip) — update only when a faster round RAISES them.
+# r3: raised from 600k/300k/15k (VERDICT r2 weak #2 — those tolerated a 26%
+# silent regression) to ~10% under the round-3 on-chip measurements
+# (mega 869,454 in BENCH-protocol runs; see PERF.md round-3 table).
+MEGA_FLOOR = 780_000.0
+FUSED_FLOOR = 500_000.0
+XLA_FLOOR = 18_000.0
 LATENCY_BUDGET_MS = 33.3  # one control period at dt = 1/30
 
 
@@ -113,6 +117,51 @@ def _throughput(backend: str, B: int = 4096, K: int = 10) -> float:
 def test_megastep_throughput_floor():
     thr = _throughput("mega")
     assert thr >= MEGA_FLOOR, f"megastep regressed: {thr:,.0f} < {MEGA_FLOOR:,.0f}"
+
+
+def test_megastep_compile_time_budget():
+    """Compile-time budget on the flagship path (VERDICT r2 next-round #2):
+    the r2 cadence regression took cold compile 16 s -> 283.5 s and no test
+    caught it. Lower+compile a FRESH megastep scan (unique K so no cached
+    executable from the throughput test can hit) and assert the budget.
+    The budget is generous (180 s vs ~20 s healthy) because remote
+    compilation over the tunnel can be contended — it exists to catch
+    Mosaic scheduling blowups, not noise."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+        MPCConfig,
+        SolverConfig,
+        VehicleParams,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import constant_refs
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+        megastep,
+        megastep_init,
+        megastep_params,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel import make_scenario_grid
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+    p = VehicleParams()
+    cfg = MPCConfig(N=20, model="dynamic")
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend="mega")
+    track = racetrack()
+    x_ref = constant_refs(cfg, 1.8)
+    scen = make_scenario_grid(p, cfg, n_ey=64, n_mu=64, vx0=1.5)
+    prm = megastep_params(scen.params, scen.batch)
+    carries = megastep_init(scen.params, cfg, track, scen.x0)
+    K = 7  # unique scan length -> fresh executable
+
+    def k_steps(carries):
+        def body(c, _):
+            c2, _u0, diag = megastep(cfg, scfg, track, prm, x_ref, c, n_sub=4)
+            return c2, jnp.mean(diag[2])
+
+        return jax.lax.scan(body, carries, None, length=K)
+
+    t0 = time.perf_counter()
+    jax.jit(k_steps).lower(carries).compile()
+    dt = time.perf_counter() - t0
+    assert dt < 180.0, f"megastep compile blowup: {dt:.1f} s"
 
 
 def test_fused_throughput_floor():

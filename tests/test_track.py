@@ -162,3 +162,33 @@ def test_global_to_frenet_windowed_matches_dense():
     np.testing.assert_allclose(np.asarray(sw), np.asarray(sd), atol=1e-5)
     np.testing.assert_allclose(np.asarray(eyw), np.asarray(eyd), atol=1e-5)
     np.testing.assert_allclose(np.asarray(epw), np.asarray(epd), atol=1e-5)
+
+
+def test_global_to_frenet_windowed_falls_back_on_bad_hint():
+    """A hint wrong by more than the window (nearest windowed node farther
+    than window_m from the query) must fall back to the dense hint-free
+    conversion instead of silently locking onto the wrong segment (round-2
+    advisor finding)."""
+    import numpy as np
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+    from autonomous_racing_lpv_mpp_mpc_tpu.track.track import (
+        global_to_frenet_windowed,
+    )
+
+    track = racetrack()
+    L = float(track.length)
+    s_true = jnp.asarray([0.3, L / 3, 0.8 * L])
+    ey = jnp.asarray([0.05, -0.1, 0.08])
+    ep = jnp.asarray([0.0, 0.1, -0.05])
+    X, Y, psi = jax.vmap(lambda a, b, c: frenet_to_global(track, a, b, c))(
+        s_true, ey, ep)
+    # hints on the OPPOSITE side of the track: wrong by >> window_m
+    hints = (s_true + L / 2) % L
+    sd, eyd, epd = jax.vmap(lambda a, b, c: global_to_frenet(track, a, b, c))(
+        X, Y, psi)
+    sw, eyw, epw = jax.jit(jax.vmap(
+        lambda a, b, c, h: global_to_frenet_windowed(track, a, b, c, h)
+    ))(X, Y, psi, hints)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(sd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eyw), np.asarray(eyd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(epw), np.asarray(epd), atol=1e-5)
