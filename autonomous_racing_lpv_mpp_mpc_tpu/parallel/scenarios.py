@@ -236,6 +236,59 @@ def sharded_solve_step(
     return fn(scen.x0, scen.params, carries)
 
 
+def sweep_chunk_fn(
+    mesh: Mesh,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    x_ref,
+    save_every: int,
+    sim_tire: Optional[str] = None,
+):
+    """The jitted ``save_every``-step sweep chunk used by
+    :func:`checkpointed_sweep` — exposed so tools can AOT-lower it
+    (``fn.lower(...).compile().memory_analysis()`` is the pod-scale HBM
+    fit proof in tools/memproof.py; ``device.memory_stats()`` is
+    unavailable over the axon tunnel).
+
+    Signature: ``fn(xs, params, carries, acc) -> (xs', carries', acc')``
+    with every argument laid out over the mesh's scenario axis.
+    """
+    from ..loop.closed_loop import plant_step
+
+    f32 = jnp.float32
+    ey_i = 5 if cfg.model == "dynamic" else 3
+
+    def chunk_body(xs0_l, p_l, c_l, acc_l):
+        def body(carry, _):
+            xs_i, car_i, acc_i = carry
+
+            def one(x, p, c):
+                u, c2, d = mpc_step(p, cfg, scfg, track, x, x_ref, c)
+                x2 = plant_step(p, cfg, track, x, u, sim_tire=sim_tire)
+                return x2, c2, d
+
+            xs2, car2, diag = jax.vmap(one)(xs_i, p_l, car_i)
+            acc2 = {
+                "conv": acc_i["conv"] + diag.converged.astype(f32),
+                "ey_sq": acc_i["ey_sq"] + xs2[:, ey_i] ** 2,
+                "iters": acc_i["iters"] + diag.iters.astype(f32),
+            }
+            return (xs2, car2, acc2), None
+
+        (xs, car, acc), _ = jax.lax.scan(
+            body, (xs0_l, c_l, acc_l), None, length=save_every)
+        return xs, car, acc
+
+    return jax.jit(shard_map(
+        chunk_body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS),) * 4,
+        out_specs=(P(SCENARIO_AXIS),) * 3,
+        check_vma=False,
+    ))
+
+
 def checkpointed_sweep(
     mesh: Mesh,
     scen: ScenarioBatch,
@@ -284,34 +337,8 @@ def checkpointed_sweep(
     B = scen.batch * jax.process_count()   # global scenario count
     f32 = jnp.float32
 
-    def chunk_body(xs0_l, p_l, c_l, acc_l):
-        def body(carry, _):
-            xs_i, car_i, acc_i = carry
-
-            def one(x, p, c):
-                u, c2, d = mpc_step(p, cfg, scfg, track, x, x_ref, c)
-                x2 = plant_step(p, cfg, track, x, u, sim_tire=sim_tire)
-                return x2, c2, d
-
-            xs2, car2, diag = jax.vmap(one)(xs_i, p_l, car_i)
-            acc2 = {
-                "conv": acc_i["conv"] + diag.converged.astype(f32),
-                "ey_sq": acc_i["ey_sq"] + xs2[:, ey_i] ** 2,
-                "iters": acc_i["iters"] + diag.iters.astype(f32),
-            }
-            return (xs2, car2, acc2), None
-
-        (xs, car, acc), _ = jax.lax.scan(
-            body, (xs0_l, c_l, acc_l), None, length=save_every)
-        return xs, car, acc
-
-    fn = jax.jit(shard_map(
-        chunk_body,
-        mesh=mesh,
-        in_specs=(P(SCENARIO_AXIS),) * 4,
-        out_specs=(P(SCENARIO_AXIS),) * 3,
-        check_vma=False,
-    ))
+    fn = sweep_chunk_fn(mesh, cfg, scfg, track, x_ref, save_every,
+                        sim_tire=sim_tire)
 
     ckpt = SweepCheckpoint(checkpoint_dir)
     carries0 = jax.vmap(lambda x0, p: mpc_init(p, cfg, track, x0))(
