@@ -11,6 +11,14 @@ from .closed_loop import ClosedLoopLog, ClosedLoopLogPred, closed_loop, plant_st
 from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
 from .mhe import MHEConfig, MHEState, mhe_init, mhe_solve, mhe_step
 from .global_loop import GlobalLog, closed_loop_global, f_global, global_plant_step
+from .friction import (
+    AdaptiveLog,
+    FrictionState,
+    adaptive_closed_loop,
+    friction_init,
+    friction_step,
+    measured_axle_forces,
+)
 
 __all__ = [
     "MPCCarry",
@@ -38,4 +46,10 @@ __all__ = [
     "closed_loop_global",
     "f_global",
     "global_plant_step",
+    "AdaptiveLog",
+    "FrictionState",
+    "adaptive_closed_loop",
+    "friction_init",
+    "friction_step",
+    "measured_axle_forces",
 ]
