@@ -1,0 +1,19 @@
+from .bridge import (
+    BridgeUnavailable,
+    CarBridge,
+    UDPLink,
+    bridge_available,
+    monotonic,
+)
+from .realtime import RealtimeLog, lockstep_car, realtime_tracking_loop
+
+__all__ = [
+    "BridgeUnavailable",
+    "CarBridge",
+    "UDPLink",
+    "bridge_available",
+    "monotonic",
+    "RealtimeLog",
+    "lockstep_car",
+    "realtime_tracking_loop",
+]

@@ -1,0 +1,192 @@
+"""ctypes bindings for the native IO bridge (native/io_bridge.cpp).
+
+Reference parity: the reference lineage's real-car loop runs over ROS
+topics at ~30 Hz (SURVEY.md §2 — the estimator/driver layers' vestigial
+real-car hooks). Here the controller process talks to a car/sensor process
+through lock-free shared-memory seqlock channels (same host) or UDP
+(off-host), both implemented in C++ with a C ABI. The Python side is a
+thin zero-allocation wrapper: buffers are allocated once per handle and
+reused every frame, so the 30 Hz loop never touches the allocator.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libiobridge.so")
+_lib = None
+
+DATA_LANES = 8
+
+
+class BridgeUnavailable(RuntimeError):
+    pass
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "libiobridge.so"],
+                check=True, capture_output=True, text=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise BridgeUnavailable(f"cannot build io bridge: {e}") from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+
+    lib.arl_monotonic.restype = ctypes.c_double
+    lib.arl_bridge_create.restype = ctypes.c_void_p
+    lib.arl_bridge_create.argtypes = [ctypes.c_char_p]
+    lib.arl_bridge_open.restype = ctypes.c_void_p
+    lib.arl_bridge_open.argtypes = [ctypes.c_char_p]
+    lib.arl_bridge_close.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    for name in ("arl_write_state", "arl_write_control"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_double, c_float_p,
+                       ctypes.c_int]
+    for name in ("arl_read_state", "arl_read_control"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, c_double_p, c_float_p, ctypes.c_int]
+
+    lib.arl_udp_socket.restype = ctypes.c_int
+    lib.arl_udp_socket.argtypes = [ctypes.c_int]
+    lib.arl_udp_send.restype = ctypes.c_int
+    lib.arl_udp_send.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32,
+        ctypes.c_double, c_float_p, ctypes.c_int]
+    lib.arl_udp_recv_latest.restype = ctypes.c_int
+    lib.arl_udp_recv_latest.argtypes = [
+        ctypes.c_int, c_double_p, c_float_p, ctypes.c_int]
+    lib.arl_udp_close.argtypes = [ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def bridge_available() -> bool:
+    try:
+        _load()
+        return True
+    except BridgeUnavailable:
+        return False
+
+
+def monotonic() -> float:
+    return float(_load().arl_monotonic())
+
+
+class CarBridge:
+    """Shared-memory state/control channel pair.
+
+    The car side calls ``write_state``/``read_control``; the controller
+    side calls ``read_state``/``write_control``. Reads are lock-free and
+    return ``(frame_count, t, data)`` — ``frame_count`` increments per
+    write, so callers detect both staleness (count unchanged) and drops
+    (count jumped by more than one).
+    """
+
+    def __init__(self, name: str, create: bool = False):
+        lib = _load()
+        self._lib = lib
+        self._name = name.encode()
+        self._owner = create
+        h = (lib.arl_bridge_create if create else lib.arl_bridge_open)(
+            self._name)
+        if not h:
+            raise BridgeUnavailable(
+                f"cannot {'create' if create else 'open'} shm bridge {name}")
+        self._h = ctypes.c_void_p(h)
+        self._t = ctypes.c_double(0.0)
+        self._buf = np.zeros(DATA_LANES, np.float32)
+        self._buf_p = self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def close(self):
+        if self._h:
+            self._lib.arl_bridge_close(self._h, self._name,
+                                       1 if self._owner else 0)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def write_state(self, t: float, x: np.ndarray):
+        n = min(len(x), DATA_LANES)
+        self._buf[:n] = np.asarray(x, np.float32)[:n]
+        self._lib.arl_write_state(self._h, float(t), self._buf_p, n)
+
+    def read_state(self, nx: int) -> Tuple[int, float, np.ndarray]:
+        cnt = self._lib.arl_read_state(self._h, ctypes.byref(self._t),
+                                       self._buf_p, nx)
+        return cnt, self._t.value, self._buf[:nx].copy()
+
+    def write_control(self, t: float, u: np.ndarray):
+        n = min(len(u), DATA_LANES)
+        self._buf[:n] = np.asarray(u, np.float32)[:n]
+        self._lib.arl_write_control(self._h, float(t), self._buf_p, n)
+
+    def read_control(self, nu: int) -> Tuple[int, float, np.ndarray]:
+        cnt = self._lib.arl_read_control(self._h, ctypes.byref(self._t),
+                                         self._buf_p, nu)
+        return cnt, self._t.value, self._buf[:nu].copy()
+
+
+class UDPLink:
+    """UDP frame endpoint (off-host car). ``recv_latest`` drains the socket
+    and keeps only the newest frame — late packets are dropped, matching
+    the control loop's freshest-state-wins semantics."""
+
+    def __init__(self, port: int):
+        lib = _load()
+        self._lib = lib
+        self._fd = lib.arl_udp_socket(port)
+        if self._fd < 0:
+            raise BridgeUnavailable(f"cannot bind UDP port {port}")
+        self._t = ctypes.c_double(0.0)
+        self._buf = np.zeros(DATA_LANES, np.float32)
+        self._buf_p = self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        self.port = port
+
+    def close(self):
+        if self._fd >= 0:
+            self._lib.arl_udp_close(self._fd)
+            self._fd = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def send(self, ip: str, port: int, count: int, t: float,
+             data: np.ndarray) -> bool:
+        n = min(len(data), DATA_LANES)
+        self._buf[:n] = np.asarray(data, np.float32)[:n]
+        r = self._lib.arl_udp_send(self._fd, ip.encode(), port, count,
+                                   float(t), self._buf_p, n)
+        return r == 0
+
+    def recv_latest(self, n: int) -> Tuple[int, float, Optional[np.ndarray]]:
+        cnt = self._lib.arl_udp_recv_latest(
+            self._fd, ctypes.byref(self._t), self._buf_p, n)
+        if cnt < 0:
+            return -1, 0.0, None
+        return cnt, self._t.value, self._buf[:n].copy()
