@@ -12,17 +12,12 @@ reused every frame, so the 30 Hz loop never touches the allocator.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libiobridge.so")
+from ..utils.nativelib import NativeLibUnavailable, find_native_lib
+
 _lib = None
 
 DATA_LANES = 8
@@ -36,15 +31,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "libiobridge.so"],
-                check=True, capture_output=True, text=True,
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            raise BridgeUnavailable(f"cannot build io bridge: {e}") from e
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        path = find_native_lib("libiobridge.so", "libiobridge.so")
+    except NativeLibUnavailable as e:
+        raise BridgeUnavailable(str(e)) from e
+    lib = ctypes.CDLL(path)
     c_float_p = ctypes.POINTER(ctypes.c_float)
     c_double_p = ctypes.POINTER(ctypes.c_double)
 

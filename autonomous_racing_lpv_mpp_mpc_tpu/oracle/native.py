@@ -9,19 +9,14 @@ and as a second independent implementation for cross-checks.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
 from .osqp_ref import OsqpRefResult, OsqpRefSettings
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libosqpcore.so")
+from ..utils.nativelib import NativeLibUnavailable, find_native_lib
+
 _lib = None
 
 
@@ -33,15 +28,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True,
-                capture_output=True, text=True,
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            raise NativeUnavailable(f"cannot build native core: {e}") from e
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        path = find_native_lib("libosqpcore.so", "libosqpcore.so")
+    except NativeLibUnavailable as e:
+        raise NativeUnavailable(str(e)) from e
+    lib = ctypes.CDLL(path)
     d = ctypes.POINTER(ctypes.c_double)
     lib.osqp_core_solve.restype = ctypes.c_int
     lib.osqp_core_solve.argtypes = [
