@@ -1,6 +1,7 @@
 from .bridge import (
     BridgeUnavailable,
     CarBridge,
+    UDPBridge,
     UDPLink,
     bridge_available,
     monotonic,
@@ -10,6 +11,7 @@ from .realtime import RealtimeLog, lockstep_car, realtime_tracking_loop
 __all__ = [
     "BridgeUnavailable",
     "CarBridge",
+    "UDPBridge",
     "UDPLink",
     "bridge_available",
     "monotonic",

@@ -181,3 +181,71 @@ class UDPLink:
         if cnt < 0:
             return -1, 0.0, None
         return cnt, self._t.value, self._buf[:n].copy()
+
+
+class UDPBridge:
+    """Off-host transport with the :class:`CarBridge` channel interface
+    (``write_state``/``read_state``/``write_control``/``read_control``),
+    so :func:`..realtime.realtime_tracking_loop` and the lockstep car run
+    unchanged over UDP — the BARC deployment shape where the car's
+    on-board computer is a different host from the TPU controller.
+
+    Two sockets: states flow car -> controller on ``state_port``, controls
+    controller -> car on ``control_port``. Frame counts are assigned by
+    the sender (monotonic per writer, like the shm seqlock's count) and
+    late datagrams lose to ``recv_latest``'s freshest-frame draining.
+    """
+
+    def __init__(self, role: str, peer_ip: str = "127.0.0.1",
+                 state_port: int = 47401, control_port: int = 47402):
+        if role not in ("car", "controller"):
+            raise ValueError(f"role must be car|controller, got {role!r}")
+        self.role = role
+        self._peer_ip = peer_ip
+        self._state_port = state_port
+        self._control_port = control_port
+        # each side binds the port it LISTENS on
+        self._rx = UDPLink(control_port if role == "car" else state_port)
+        self._tx_count = 0
+        # last frame seen: socket drains are destructive, but the channel
+        # contract (same as the shm seqlock) is idempotent
+        # latest-frame reads — so cache and re-serve it
+        self._last = (0, 0.0, None)
+
+    def close(self):
+        self._rx.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _send(self, port: int, t: float, data: np.ndarray):
+        self._tx_count += 1
+        self._rx.send(self._peer_ip, port, self._tx_count, t, data)
+
+    def write_state(self, t: float, x: np.ndarray):
+        assert self.role == "car"
+        self._send(self._state_port, t, x)
+
+    def _read(self, n: int) -> Tuple[int, float, np.ndarray]:
+        cnt, t, data = self._rx.recv_latest(n)
+        if data is not None and cnt > self._last[0]:
+            self._last = (cnt, t, data)
+        cnt, t, data = self._last
+        if data is None:
+            return 0, 0.0, np.zeros(n, np.float32)
+        return cnt, t, data[:n]
+
+    def read_state(self, nx: int) -> Tuple[int, float, np.ndarray]:
+        assert self.role == "controller"
+        return self._read(nx)
+
+    def write_control(self, t: float, u: np.ndarray):
+        assert self.role == "controller"
+        self._send(self._control_port, t, u)
+
+    def read_control(self, nu: int) -> Tuple[int, float, np.ndarray]:
+        assert self.role == "car"
+        return self._read(nu)

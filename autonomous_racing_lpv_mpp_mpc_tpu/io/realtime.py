@@ -133,11 +133,14 @@ def lockstep_car(
     sim_tire: Optional[str] = None,
     timeout_s: float = 60.0,
     poll_s: float = 2e-4,
+    bridge=None,
 ) -> np.ndarray:
     """Plant-simulator car process: creates the bridge, publishes state
     frame k, BLOCKS until control frame k arrives, integrates, repeats.
     Returns the final state. Run this in a separate process (it owns the
     shm segment); the controller side runs :func:`realtime_tracking_loop`.
+    Pass ``bridge`` (e.g. a car-role :class:`..bridge.UDPBridge`) to use a
+    transport other than the default shm segment named ``bridge_name``.
     """
     import jax
     import jax.numpy as jnp
@@ -149,7 +152,8 @@ def lockstep_car(
     x = jnp.asarray(x0, jnp.float32)
     _ = step(x, jnp.zeros(NU)).block_until_ready()
 
-    with CarBridge(bridge_name, create=True) as br:
+    with (bridge if bridge is not None
+          else CarBridge(bridge_name, create=True)) as br:
         for k in range(T):
             br.write_state(monotonic(), np.asarray(x))
             t_end = monotonic() + timeout_s

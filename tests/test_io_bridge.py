@@ -143,3 +143,58 @@ def test_two_process_hardware_in_the_loop():
     np.testing.assert_allclose(x_final, np.asarray(ref.X[-1]),
                                rtol=0, atol=1e-3)
     np.testing.assert_allclose(log.U, np.asarray(ref.U), rtol=0, atol=1e-3)
+
+
+def test_udp_lockstep_loop_matches_shm_semantics():
+    """Off-host deployment shape: the same realtime_tracking_loop +
+    lockstep_car pair runs over the UDP transport (car thread, controller
+    main thread) and must reproduce the in-process closed loop."""
+    import jax.numpy as jnp
+
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+        MPCConfig,
+        SolverConfig,
+        VehicleParams,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.io import (
+        UDPBridge,
+        lockstep_car,
+        realtime_tracking_loop,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+        closed_loop,
+        constant_refs,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track
+
+    T = 40
+    p = VehicleParams()
+    cfg = MPCConfig(N=10, model="dynamic")
+    scfg = SolverConfig(max_iter=30, rho_interval=10)
+    track = oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.1])
+    x_ref = constant_refs(cfg, 1.5)
+
+    sp, cp = 47421, 47422
+    result = {}
+
+    def car():
+        with UDPBridge("car", state_port=sp, control_port=cp) as br:
+            result["x_final"] = lockstep_car(
+                "", p, cfg, track, x0, T, bridge=br)
+
+    th = threading.Thread(target=car, daemon=True)
+    ctrl = UDPBridge("controller", state_port=sp, control_port=cp)
+    th.start()
+    try:
+        log = realtime_tracking_loop(p, cfg, scfg, track, x_ref, ctrl, T)
+    finally:
+        ctrl.close()
+        th.join(timeout=60)
+    assert not th.is_alive()
+    assert np.array_equal(log.frame_counts, np.arange(1, T + 1))
+
+    ref = closed_loop(p, cfg, scfg, track, x0, x_ref, T=T)
+    np.testing.assert_allclose(result["x_final"], np.asarray(ref.X[-1]),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(log.U, np.asarray(ref.U), rtol=0, atol=1e-3)
