@@ -8,6 +8,7 @@ fake-8 CPU mesh in CI).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Dict, Optional
 
@@ -309,9 +310,45 @@ def latency(p: VehicleParams, scfg: SolverConfig, batch: int = 128,
     }
 
 
+def adaptive(p: VehicleParams, scfg: SolverConfig, T: int = 400,
+             mu_true: float = 0.5, mu0: float = 1.0, plot: str = "",
+             **kw) -> Dict:
+    """Online friction adaptation under model mismatch (loop/friction.py):
+    plant at ``mu_true``, controller starting at ``mu0`` and re-scheduling
+    on the RLS mu-hat each step. Reports the estimate trace endpoints and
+    the tracking improvement vs the frozen-mu ablation."""
+    from ..loop.friction import adaptive_closed_loop
+
+    cfg = MPCConfig(N=12, model="dynamic", tire="pacejka")
+    scfg_a = scfg.replace(max_iter=max(scfg.max_iter, 40))
+    track = racetrack()
+    x0 = jnp.array([1.2, 0.0, 0.0, 0.0, 0.0, 0.0])
+    x_ref = constant_refs(cfg, 2.6)
+
+    run = jax.jit(functools.partial(
+        adaptive_closed_loop, T=T, mu_true=mu_true, mu0=mu0))
+    abl = jax.jit(functools.partial(
+        adaptive_closed_loop, T=T, mu_true=mu_true, mu0=mu0, adapt=False))
+    log = run(p, cfg, scfg_a, track, x0, x_ref)
+    log0 = abl(p, cfg, scfg_a, track, x0, x_ref)
+    ey_rms = lambda L: float(jnp.sqrt(jnp.mean(L.X[:, 5] ** 2)))
+    return {
+        "preset": "adaptive",
+        "mu_true": mu_true,
+        "mu0": mu0,
+        "mu_hat_final": round(float(log.mu_hat[-1]), 4),
+        "ey_rms_adapted_m": round(ey_rms(log), 4),
+        "ey_rms_frozen_m": round(ey_rms(log0), 4),
+        "ey_max_adapted_m": round(float(jnp.max(jnp.abs(log.X[:, 5]))), 4),
+        "ey_max_frozen_m": round(float(jnp.max(jnp.abs(log0.X[:, 5]))), 4),
+        "converged_frac": round(float(jnp.mean(log.converged)), 4),
+    }
+
+
 PRESETS: Dict[str, Callable] = {
     "config1": config1,
     "config1_planner": config1_planner,
+    "adaptive": adaptive,
     "config2": config2,
     "config3": config3,
     "config4": config4,
