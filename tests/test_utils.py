@@ -154,3 +154,15 @@ def test_config5_reports_scaling_efficiency():
     assert 0.0 < out["scaling_efficiency"] <= 1.5
     # cold start + only T=3 steps: convergence just needs to be plausible
     assert out["converged_frac"] > 0.6
+
+
+def test_cli_run_adaptive(capsys):
+    """The 'adaptive' preset (loop/friction.py through the CLI): mu-hat
+    must land on the plant's mu and the adapted arm must beat frozen."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.cli import main
+
+    rc = main(["run", "adaptive", "T=250", "mu_true=0.55"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert abs(out["mu_hat_final"] - 0.55) < 0.05
+    assert out["ey_rms_adapted_m"] < out["ey_rms_frozen_m"]
