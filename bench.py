@@ -50,7 +50,10 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     backend = sys.argv[2] if len(sys.argv) > 2 else "mega"
-    K = 10  # steps per timed dispatch
+    # steps fused per timed dispatch: the tunnel adds a fixed ~25-30 ms RTT
+    # per dispatch, so larger K amortizes it toward the on-device rate
+    # (production runs whole laps as one jitted scan — loop/closed_loop.py)
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 500
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")

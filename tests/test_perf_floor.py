@@ -29,9 +29,12 @@ pytestmark = [
 
 # floors (solves/s/chip) — update only when a faster round RAISES them.
 # r3: raised from 600k/300k/15k (VERDICT r2 weak #2 — those tolerated a 26%
-# silent regression) to ~10% under the round-3 on-chip measurements
-# (mega 869,454 in BENCH-protocol runs; see PERF.md round-3 table).
-MEGA_FLOOR = 780_000.0
+# silent regression) to ~10% under the round-3 on-chip measurements.
+# The mega floor uses the K=100 amortized protocol (measured 1.65 M; the
+# tunnel's fixed ~25-30 ms dispatch RTT dominates short dispatches — PERF.md
+# "Dispatch amortization"); fused/xla keep the K=10 protocol.
+MEGA_FLOOR = 1_450_000.0
+MEGA_K = 100
 FUSED_FLOOR = 500_000.0
 XLA_FLOOR = 18_000.0
 LATENCY_BUDGET_MS = 33.3  # one control period at dt = 1/30
@@ -115,7 +118,7 @@ def _throughput(backend: str, B: int = 4096, K: int = 10) -> float:
 
 
 def test_megastep_throughput_floor():
-    thr = _throughput("mega")
+    thr = _throughput("mega", K=MEGA_K)
     assert thr >= MEGA_FLOOR, f"megastep regressed: {thr:,.0f} < {MEGA_FLOOR:,.0f}"
 
 
