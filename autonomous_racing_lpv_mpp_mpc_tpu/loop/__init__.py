@@ -11,6 +11,14 @@ from .closed_loop import ClosedLoopLog, ClosedLoopLogPred, closed_loop, plant_st
 from .estimator import EKFState, ekf_init, ekf_step, noisy_measurement, passthrough
 from .mhe import MHEConfig, MHEState, mhe_init, mhe_solve, mhe_step
 from .global_loop import GlobalLog, closed_loop_global, f_global, global_plant_step
+from .lap_learning import (
+    LapLearnConfig,
+    LapLearnLog,
+    initial_table,
+    iterative_lap_learning,
+    lap_steps,
+    learn_from_lap,
+)
 from .friction import (
     AdaptiveLog,
     FrictionState,
@@ -46,6 +54,12 @@ __all__ = [
     "closed_loop_global",
     "f_global",
     "global_plant_step",
+    "LapLearnConfig",
+    "LapLearnLog",
+    "initial_table",
+    "iterative_lap_learning",
+    "lap_steps",
+    "learn_from_lap",
     "AdaptiveLog",
     "FrictionState",
     "adaptive_closed_loop",
