@@ -345,10 +345,58 @@ def adaptive(p: VehicleParams, scfg: SolverConfig, T: int = 400,
     }
 
 
+def learn(p: VehicleParams, scfg: SolverConfig, n_laps: int = 6,
+          T_lap: int = 0, vx0: float = 1.0, track_name: str = "oval",
+          plot: str = "", **kw) -> Dict:
+    """Lap-over-lap reference learning (loop/lap_learning.py): start from a
+    conservative flat-speed table and let the ILC update race it down to the
+    friction limit. Reports the lap-time trajectory and the learned-profile
+    spread; ``plot=`` writes lap times + learned vx(s) panels."""
+    from ..loop import initial_table, iterative_lap_learning
+
+    cfg = MPCConfig(N=12, model="dynamic")
+    track = oval_track(ds=0.05) if track_name == "oval" else racetrack(ds=0.05)
+    if not T_lap:  # enough steps to finish a lap at the seed speed + margin
+        T_lap = int(1.4 * float(track.length) / (vx0 * cfg.dt))
+    x0 = jnp.array([vx0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out = iterative_lap_learning(
+        p, cfg, scfg, track, x0, n_laps=n_laps, T_lap=T_lap,
+        table0=initial_table(track, ds=0.05, vx0=vx0),
+    )
+    lap_s = out.lap_steps * cfg.dt
+    X = np.asarray(out.last_log.X)
+    if plot:
+        from ..utils import plotting  # sets the Agg backend
+        import matplotlib.pyplot as plt
+
+        fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 3.6))
+        ax0.plot(np.arange(1, n_laps + 1), lap_s, "o-")
+        ax0.set_xlabel("lap"); ax0.set_ylabel("lap time [s]")
+        ax0.set_title("lap-over-lap learning")
+        s_grid = np.arange(out.tables_vx.shape[1]) * float(out.table.ds)
+        for i, v in enumerate(out.tables_vx):
+            ax1.plot(s_grid, v, alpha=0.3 + 0.7 * i / n_laps,
+                     color="C1", lw=1.0 + 1.5 * (i == n_laps))
+        ax1.set_xlabel("s [m]"); ax1.set_ylabel("vx_ref [m/s]")
+        ax1.set_title("learned velocity profile")
+        fig.tight_layout(); fig.savefig(plot, dpi=110); plt.close(fig)
+    return {
+        "preset": "learn",
+        "track": track_name,
+        "lap_times_s": [round(float(t), 3) for t in lap_s],
+        "improvement_pct": round(100.0 * (1.0 - lap_s[-1] / lap_s[0]), 1),
+        "ey_max_m": round(float(np.abs(X[:, 5]).max()), 4),
+        "converged_frac": round(float(np.mean(np.asarray(out.last_log.converged))), 3),
+        "vx_profile_min": round(float(out.tables_vx[-1].min()), 3),
+        "vx_profile_max": round(float(out.tables_vx[-1].max()), 3),
+    }
+
+
 PRESETS: Dict[str, Callable] = {
     "config1": config1,
     "config1_planner": config1_planner,
     "adaptive": adaptive,
+    "learn": learn,
     "config2": config2,
     "config3": config3,
     "config4": config4,

@@ -166,3 +166,17 @@ def test_cli_run_adaptive(capsys):
     out = json.loads(capsys.readouterr().out)
     assert abs(out["mu_hat_final"] - 0.55) < 0.05
     assert out["ey_rms_adapted_m"] < out["ey_rms_frozen_m"]
+
+
+def test_cli_run_learn(capsys):
+    """The 'learn' preset (loop/lap_learning.py through the CLI): two
+    learned laps already shave lap time without leaving the corridor."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.cli import main
+
+    rc = main(["run", "learn", "n_laps=2", "max_iter=40"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["preset"] == "learn"
+    assert len(out["lap_times_s"]) == 2
+    assert out["improvement_pct"] > 3.0
+    assert out["ey_max_m"] < 0.4
