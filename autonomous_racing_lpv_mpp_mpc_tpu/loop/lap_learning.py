@@ -215,3 +215,56 @@ def iterative_lap_learning(
         table=table,
         last_log=log,
     )
+
+
+def batched_lap_learning(
+    p_b: VehicleParams,          # batched params (each leaf (B,))
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    x0_b: jnp.ndarray,           # (B, nx)
+    n_laps: int,
+    T_lap: int,
+    llcfg: Optional[LapLearnConfig] = None,
+    table0: Optional[RefTable] = None,
+    sim_tire: Optional[str] = None,
+) -> LapLearnLog:
+    """Learn a whole GRID of cars' profiles in parallel (DP analog).
+
+    The per-lane learner is exactly :func:`learn_from_lap`; lap rollout and
+    update are vmapped over the batch axis, so e.g. a friction sweep learns
+    one friction-dependent racing profile per lane in the same wall time as
+    one car — the scenario-batching design of SURVEY.md §2.2 applied to the
+    learning outer loop. Shard the batch axis with ``shard_map`` exactly
+    like ``parallel/scenarios.py`` for pod-scale sweeps.
+    """
+    llcfg = llcfg or LapLearnConfig()
+    B = x0_b.shape[0]
+    one = table0 if table0 is not None else initial_table(track)
+    table = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+
+    run_lap = jax.jit(jax.vmap(
+        lambda pp, x0, tbl: closed_loop(
+            pp, cfg, scfg, track, x0, tbl, T=T_lap, sim_tire=sim_tire
+        ),
+    ))
+    update = jax.jit(jax.vmap(
+        lambda pp, tbl, X, U: learn_from_lap(pp, cfg, llcfg, track, tbl, X, U),
+    ))
+    steps_fn = jax.jit(jax.vmap(lambda X: lap_steps(cfg, track, X, T_lap)))
+
+    laps: List[np.ndarray] = []
+    vx_hist = [np.asarray(table.vx)]
+    log = None
+    for _ in range(n_laps):
+        log = run_lap(p_b, x0_b, table)
+        laps.append(np.asarray(steps_fn(log.X)))
+        table = update(p_b, table, log.X, log.U)
+        vx_hist.append(np.asarray(table.vx))
+
+    return LapLearnLog(
+        lap_steps=np.stack(laps),        # (n_laps, B)
+        tables_vx=np.stack(vx_hist),     # (n_laps + 1, B, n)
+        table=table,
+        last_log=log,
+    )

@@ -102,3 +102,45 @@ def test_lap_steps_detection():
     assert 0 < t < T
     X_dnf = jnp.zeros((T, 4))
     assert int(lap_steps(cfg, track, X_dnf, T)) == T
+
+
+def test_batched_learning_mu_ordering():
+    """vmapped friction sweep: each lane learns its own profile, and more
+    grip must mean a faster learned lap (monotone in mu)."""
+    import dataclasses
+
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.lap_learning import (
+        batched_lap_learning,
+    )
+
+    mus = np.array([0.5, 0.8, 1.1], np.float32)
+    B = mus.shape[0]
+    p_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32), (B,)),
+        VehicleParams(),
+    )
+    p_b = dataclasses.replace(p_b, mu=jnp.asarray(mus))
+    # Pacejka plant AND Pacejka-aware (secant-stiffness) controller: the
+    # low-grip lane must actually saturate for mu to order the outcomes
+    cfg = MPCConfig(N=10, model="dynamic", tire="pacejka")
+    track = oval_track(ds=0.05)
+    x0_b = jnp.zeros((B, 6)).at[:, 0].set(1.0)
+    out = batched_lap_learning(
+        p_b, cfg, SCFG, track, x0_b, n_laps=6, T_lap=400,
+        llcfg=LapLearnConfig(gain=0.7, dv_max=0.8, a_lat_frac=0.8),
+        table0=initial_table(track, ds=0.05, vx0=1.0),
+        sim_tire="pacejka",
+    )
+    laps = out.lap_steps                       # (n_laps, B)
+    assert laps.shape == (6, B)
+    assert (laps < 400).all(), laps
+    final = laps[-1]
+    # every lane improved a lot on its own seed lap, and grip orders the
+    # learned laps: more mu -> strictly faster
+    assert (final < 0.75 * laps[0]).all(), laps
+    assert final[2] < final[1] < final[0], final
+    # learned peak speed grows with grip
+    peaks = out.tables_vx[-1].max(axis=1)
+    assert peaks[0] < peaks[1] < peaks[2] + 1e-6, peaks
+    X = np.asarray(out.last_log.X)             # (B, T, 6)
+    assert np.abs(X[..., 5]).max() < 0.4
