@@ -8,6 +8,9 @@ Produces (into artifacts/):
 - overtake_pass.png  — the same run as a static trajectory figure
 - friction_adaptation.png — mu-hat convergence + tracking error vs the
                        frozen-mu ablation (loop/friction.py)
+- lap_learning.png   — lap-over-lap ILC: lap-time trajectory + learned
+                       velocity profile (loop/lap_learning.py, via the
+                       'learn' CLI preset)
 
 CPU-forced: rendering needs no accelerator. Run: python tools/make_demo.py
 """
@@ -163,7 +166,16 @@ def friction_demo():
     print("wrote", out)
 
 
+def lap_learning_demo():
+    from autonomous_racing_lpv_mpp_mpc_tpu.bench.presets import run_preset
+
+    out = os.path.join(ART, "lap_learning.png")
+    res = run_preset("learn", n_laps=6, plot=out)
+    print("wrote", out, "| lap_times_s:", res["lap_times_s"])
+
+
 if __name__ == "__main__":
     os.makedirs(ART, exist_ok=True)
     overtake_demo()
     friction_demo()
+    lap_learning_demo()
