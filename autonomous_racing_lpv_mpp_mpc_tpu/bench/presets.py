@@ -366,7 +366,7 @@ def learn(p: VehicleParams, scfg: SolverConfig, n_laps: int = 6,
     lap_s = out.lap_steps * cfg.dt
     X = np.asarray(out.last_log.X)
     if plot:
-        from ..utils import plotting  # sets the Agg backend
+        from ..utils import plotting  # noqa: F401  (sets the Agg backend)
         import matplotlib.pyplot as plt
 
         fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 3.6))

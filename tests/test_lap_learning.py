@@ -17,7 +17,6 @@ from autonomous_racing_lpv_mpp_mpc_tpu.core import (
 )
 from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
     LapLearnConfig,
-    closed_loop,
     initial_table,
     iterative_lap_learning,
     lap_steps,
