@@ -143,3 +143,22 @@ def test_batched_learning_mu_ordering():
     assert peaks[0] < peaks[1] < peaks[2] + 1e-6, peaks
     X = np.asarray(out.last_log.X)             # (B, T, 6)
     assert np.abs(X[..., 5]).max() < 0.4
+
+
+def test_kinematic_lap_learning():
+    """Model-generic learner: the kinematic bicycle (config 1) learns too."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPCWeights
+
+    cfg = MPCConfig(N=10, model="kinematic",
+                    weights=MPCWeights.for_model("kinematic"))
+    track = oval_track(ds=0.05)
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    out = iterative_lap_learning(
+        P, cfg, SCFG, track, x0, n_laps=3, T_lap=400,
+        table0=initial_table(track, ds=0.05, vx0=1.0),
+    )
+    laps = out.lap_steps
+    assert (laps < 400).all(), laps
+    assert laps[-1] < 0.93 * laps[0], laps
+    X = np.asarray(out.last_log.X)
+    assert np.abs(X[:, 3]).max() < 0.4
