@@ -87,17 +87,23 @@ def closed_loop(
     sim_tire: Optional[str] = None,
     carry0: Optional[MPCCarry] = None,
     log_predictions: bool = False,
+    obstacles=None,
 ) -> ClosedLoopLog:
     """Run T control steps of the full closed loop; returns stacked logs.
 
     ``log_predictions=True`` additionally records each step's predicted
     trajectory (ClosedLoopLogPred) for predicted-vs-actual analysis/plots.
+    ``obstacles`` is an optional static (n_obs, 4) corridor-block array
+    (``engine/assembly.py::corridor_from_blocks`` semantics) applied to
+    every step's tracker bounds — parked obstacles; moving opponents go
+    through ``planner/online.py``.
     """
     carry_init = carry0 if carry0 is not None else mpc_init(p, cfg, track, x0)
 
     def step(carry, _):
         x, mpc_carry = carry
-        u, mpc_carry, diag = mpc_step(p, cfg, scfg, track, x, x_ref, mpc_carry)
+        u, mpc_carry, diag = mpc_step(p, cfg, scfg, track, x, x_ref, mpc_carry,
+                                      obstacles=obstacles)
         x_next = plant_step(p, cfg, track, x, u, n_sub=n_sub, sim_tire=sim_tire)
         out = (x_next, u, diag.converged, diag.iters, diag.r_prim, diag.r_dual,
                diag.certified_infeasible)

@@ -179,20 +179,24 @@ def iterative_lap_learning(
     llcfg: Optional[LapLearnConfig] = None,
     table0: Optional[RefTable] = None,
     sim_tire: Optional[str] = None,
+    obstacles=None,
 ) -> LapLearnLog:
     """Run ``n_laps`` laps, updating the reference table after each.
 
     Every lap restarts from ``x0`` (standing start, reference-lineage
     protocol) and follows the current table; the update between laps is
     :func:`learn_from_lap`. Host loop over laps; both inner programs are
-    compiled once.
+    compiled once. With static ``obstacles`` (corridor blocks) the ey
+    learning memorizes the avoidance line into the table, so later laps
+    pre-position for the pass instead of reacting inside the horizon.
     """
     llcfg = llcfg or LapLearnConfig()
     table = table0 if table0 is not None else initial_table(track)
 
     run_lap = jax.jit(
         lambda tbl: closed_loop(
-            p, cfg, scfg, track, x0, tbl, T=T_lap, sim_tire=sim_tire
+            p, cfg, scfg, track, x0, tbl, T=T_lap, sim_tire=sim_tire,
+            obstacles=obstacles,
         )
     )
     update = jax.jit(
