@@ -199,6 +199,18 @@ def _build_table(p, pcfg: MPPConfig, track: Track, s_traj, vx_tr, ey_tr,
     ey_tab = jnp.interp(qs, s_traj, ey_tr)
     dl_tab = jnp.interp(qs, s_traj, delta_tr)
 
+    # taper the planned line back to the centerline over the last metre of
+    # the span: the uncovered fallback sits on ey=0, and a hard seam there
+    # becomes a heading-reference spike through refs_from_table's slope
+    # term — measured r4: a tracker reaching the seam dropped to ~0
+    # convergence for the rest of the segment. The horizon tail is the
+    # least-trusted part of a receding plan anyway (standard tail discard).
+    taper = jnp.minimum(jnp.asarray(1.0, jnp.float32), 0.5 * span)
+    w_tail = jnp.clip((s_end - qs) / jnp.maximum(taper, 1e-3), 0.0, 1.0)
+    # full-lap plans are cyclic — no seam, no taper (progress >= L)
+    w_tail = jnp.where(progress < L32, w_tail, 1.0)
+    ey_tab = ey_tab * w_tail
+
     # fallback for uncovered cells: centerline + velocity profile
     n_cells = track.kappa.shape[0]
     idx = jnp.clip((s_grid / track.ds).astype(jnp.int32), 0, n_cells - 1)
