@@ -27,6 +27,7 @@ from .friction import (
     friction_step,
     measured_axle_forces,
 )
+from .race import RaceCarry, RaceLog, race_loop
 
 __all__ = [
     "MPCCarry",
@@ -66,4 +67,7 @@ __all__ = [
     "friction_init",
     "friction_step",
     "measured_axle_forces",
+    "RaceCarry",
+    "RaceLog",
+    "race_loop",
 ]

@@ -1,0 +1,323 @@
+"""The flagship full-stack race program: every deployment subsystem in ONE
+composed loop.
+
+Reference parity (SURVEY.md §3.1): the reference's actual hot loop is the
+full composition estimate -> plan -> solve -> apply -> simulate. Round 3
+built every stage (EKF/MHE, friction RLS, MPP replanning, ILC lap
+learning, tracker, world-frame plant) but only ever ran them in pairwise
+programs; this module is the one program that races them all together —
+where the state-sharing seams live (mu-hat into the planner's friction
+caps, EKF lag vs the replanning cadence, s-unwrap shared by estimator,
+planner table and tracker).
+
+Composition per control period (one ``lax.scan`` step):
+
+1. plant truth lives in the WORLD frame at the TRUE friction mu_true
+   (global_loop.py::global_plant_step, Pacejka tires);
+2. measurement: branch-free global->Frenet conversion windowed around the
+   previous unwrapped s (track/track.py), plus Gaussian sensor noise;
+3. estimator: EKF predict/update with the CONTROLLER's current model —
+   i.e. the LPV plant scheduled at mu-hat, so the adaptation loop closes
+   through the filter exactly as it would on the real car;
+4. friction: scalar RLS on the filtered state transition
+   (loop/friction.py) -> mu-hat;
+5. tracker: warm-started LPV-MPC at mu-hat following the current RefTable
+   (refs sampled along the scheduled s);
+6. plant: fine-Euler sub-steps in the world frame.
+
+Host Python runs ONLY at segment boundaries (every ``replan_every`` steps)
+where the MPP planner re-plans a receding horizon from the car's current
+ESTIMATED state with the car's current mu-hat — the planner's
+curvature-limited speed caps therefore tighten/relax as the estimator
+learns the surface. Optionally (``ilc_every``) the between-window ILC
+update (loop/lap_learning.py) refines the table from realized driving
+instead of replanning, the racing/learning deployment mode.
+
+TPU-first: the per-segment program is one jitted scan (compiled once,
+reused every segment); the planner SQP reuses its own jitted passes across
+replans; no data-dependent shapes anywhere (obstacle rows padded static).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import MPCConfig, MPPConfig, SolverConfig, VehicleParams
+from ..planner.mpp import plan_mpp
+from ..planner.reftable import RefTable
+from ..track.track import Track, frenet_to_global
+from .estimator import EKFState, ekf_init, ekf_step
+from .friction import FrictionState, friction_init, friction_step
+from .global_loop import estimate_frenet, global_plant_step
+from .lap_learning import LapLearnConfig, _wraps_needed, learn_from_lap
+from .mpc import MPCCarry, mpc_init, mpc_step
+
+
+class RaceCarry(NamedTuple):
+    """Cross-step state of the composed loop (one pytree, scan-carried)."""
+
+    xg: jnp.ndarray        # (6,) world-frame plant state (truth)
+    mpc: MPCCarry          # tracker warm start + scheduling trajectory
+    ekf: EKFState          # estimator mean/covariance (Frenet, unwrapped s)
+    fric: FrictionState    # mu-hat RLS state
+    x_prev_f: jnp.ndarray  # (6,) previous filtered state (friction residual)
+    u_prev: jnp.ndarray    # (2,) last applied control (EKF predict input)
+    key: jnp.ndarray       # PRNG key for the sensor noise stream
+
+
+class RaceLog(NamedTuple):
+    Xg: np.ndarray          # (T, 6) true world states
+    Xf: np.ndarray          # (T, 6) filtered Frenet states fed to the MPC
+    Z: np.ndarray           # (T, 6) raw (noisy) measurements
+    U: np.ndarray           # (T, 2)
+    mu_hat: np.ndarray      # (T,)
+    converged: np.ndarray   # (T,)
+    iters: np.ndarray       # (T,)
+    replan_steps: np.ndarray   # step index of each planner/ILC table update
+    tables_vx: np.ndarray      # (n_tables, n) vx profile after each update
+    lap_steps: np.ndarray      # (n_laps,) step at which each lap completed
+
+
+def _make_segment(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    T_seg: int,
+    mu_true: float,
+    mu0: float,
+    sim_tire: str,
+    n_sub: int,
+    noise_sigma,
+    use_ekf: bool,
+    adapt_mu: bool,
+    ekf_q,
+):
+    """One jitted tracking segment of the composed loop (compiled once)."""
+    f32 = jnp.float32
+    p_plant = p.replace(mu=jnp.asarray(mu_true, f32))
+    nx = 6
+    Qn = jnp.diag(jnp.asarray(ekf_q, f32))
+    Rn = (
+        jnp.diag(jnp.asarray(noise_sigma, f32) ** 2)
+        if noise_sigma is not None
+        else 1e-4 * jnp.eye(nx, dtype=f32)
+    )
+
+    @jax.jit
+    def run(carry: RaceCarry, table: RefTable, obstacles=None):
+        def step(c: RaceCarry, _):
+            key, kn = jax.random.split(c.key)
+            # 2. measure: world -> Frenet around the previous unwrapped s
+            #    (the ESTIMATOR's s, the one shared contract across
+            #    subsystems), plus sensor noise
+            z = estimate_frenet(track, c.xg, s_hint=c.ekf.x[4])
+            if noise_sigma is not None:
+                z = z + jnp.asarray(noise_sigma, f32) * jax.random.normal(
+                    kn, z.shape, f32)
+            # 3./4. estimate + adapt: the EKF runs the controller's model
+            #    at the CURRENT mu-hat (adaptation closes through the
+            #    filter); the RLS consumes the filtered transition
+            mu_ctrl = c.fric.mu if adapt_mu else jnp.asarray(mu0, f32)
+            p_hat = p.replace(mu=mu_ctrl)
+            if use_ekf:
+                ekf2 = ekf_step(p_hat, cfg, track, c.ekf, c.u_prev, z, Qn, Rn)
+                xf = ekf2.x
+            else:
+                ekf2 = EKFState(x=z, P=c.ekf.P)
+                xf = z
+            fric2 = (
+                friction_step(p, c.fric, c.x_prev_f, xf, c.u_prev, cfg.dt)
+                if adapt_mu else c.fric
+            )
+            # 5. track: warm-started MPC at mu-hat on the current table
+            u, mpc2, diag = mpc_step(p_hat, cfg, scfg, track, xf, table,
+                                     c.mpc, obstacles=obstacles)
+            # 6. simulate: world-frame truth at mu_true
+            xg2 = global_plant_step(p_plant, cfg, c.xg, u, n_sub=n_sub,
+                                    sim_tire=sim_tire)
+            c2 = RaceCarry(xg=xg2, mpc=mpc2, ekf=ekf2, fric=fric2,
+                           x_prev_f=xf, u_prev=u, key=key)
+            out = (xg2, xf, z, u, fric2.mu, diag.converged, diag.iters)
+            return c2, out
+
+        carry2, outs = jax.lax.scan(step, carry, None, length=T_seg)
+        return carry2, outs
+
+    return run
+
+
+def race_loop(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    pcfg: MPPConfig,
+    track: Track,
+    x0: jnp.ndarray,             # (6,) initial TRUE state, Frenet
+    T: int,
+    mu_true: float,
+    mu0: float = 1.0,
+    replan_every: int = 60,
+    noise_sigma=None,            # (6,) per-state sensor sigma, or None
+    key: Optional[jnp.ndarray] = None,
+    use_ekf: bool = True,
+    adapt_mu: bool = True,
+    obstacles_fn: Optional[Callable[[int], Optional[np.ndarray]]] = None,
+    max_obstacle_rows: int = 8,
+    ilc_every: int = 0,          # >0: ILC table refinement instead of replans
+    ilc_cfg: Optional[LapLearnConfig] = None,
+    sim_tire: str = "pacejka",
+    n_sub: int = 10,
+    plan_scfg: Optional[SolverConfig] = None,
+    table0: Optional[RefTable] = None,
+    ekf_q=None,              # (6,) per-state EKF process noise variance
+) -> RaceLog:
+    """Race ``T`` control steps with the FULL stack composed.
+
+    Two deployment modes sharing one compiled segment program:
+
+    - **replanning** (default, ``ilc_every=0``): the MPP re-plans a
+      receding horizon every ``replan_every`` steps from the car's current
+      ESTIMATED state, with the vehicle model at the car's current mu-hat —
+      friction adaptation flows into the planner's speed caps, and
+      ``obstacles_fn(step)`` corridors reach planner AND tracker.
+    - **racing/learning** (``ilc_every > 0``): the table is planned once
+      (at mu0) and then refined every ``ilc_every`` segments by the ILC
+      update on the realized (filtered) trajectory window, evaluated at
+      mu-hat — lap times improve lap over lap while the estimator keeps
+      correcting the surface model.
+
+    Returns a :class:`RaceLog` with truth, estimates, raw measurements,
+    controls, the mu-hat trace, every table update, and lap completions.
+    """
+    if cfg.model != "dynamic":
+        raise ValueError("race_loop composes the friction estimator; it "
+                         "needs the dynamic model")
+    assert cfg.model == pcfg.model, (cfg.model, pcfg.model)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    f32 = jnp.float32
+    x0 = jnp.asarray(x0, f32)
+    if ekf_q is None:
+        # default process noise: the velocity channels carry the model
+        # mismatch (unknown mu scales the tire forces -> vy_dot/wz_dot
+        # bias), so they get an order more process noise than the
+        # kinematic pose channels — measured r4: a uniform 1e-4 makes the
+        # EKF trust the wrong-mu yaw model enough to DEGRADE wz vs the
+        # raw measurement; this split keeps vy/ey wins and fixes wz
+        ekf_q = np.array([1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4], np.float32)
+
+    segment = _make_segment(
+        p, cfg, scfg, track, replan_every, mu_true, mu0, sim_tire, n_sub,
+        noise_sigma, use_ekf, adapt_mu, ekf_q,
+    )
+
+    # ILC refinement update (jitted once; mu-hat enters as a traced arg)
+    wraps = _wraps_needed(
+        float(cfg.bounds.vx_max),
+        min(float(cfg.bounds.a_max), -float(cfg.bounds.a_min)),
+        float(track.length),
+    )
+    ilc_cfg = ilc_cfg or LapLearnConfig()
+
+    # world-frame truth from the Frenet x0
+    Xw, Yw, psiw = frenet_to_global(track, x0[4], x0[5], x0[3])
+    xg0 = jnp.stack([x0[0], x0[1], x0[2], Xw, Yw, psiw])
+    carry = RaceCarry(
+        xg=xg0,
+        mpc=mpc_init(p.replace(mu=jnp.asarray(mu0, f32)), cfg, track, x0),
+        ekf=ekf_init(x0),
+        fric=friction_init(mu0),
+        x_prev_f=x0,
+        u_prev=jnp.zeros(2, f32),
+        key=key,
+    )
+
+    def current_mu() -> float:
+        return float(carry.fric.mu) if adapt_mu else float(mu0)
+
+    def plan_now(t: int, x_state) -> RefTable:
+        obs = _obstacles_at(obstacles_fn, t, max_obstacle_rows)
+        table, _diag = plan_mpp(
+            p.replace(mu=jnp.asarray(current_mu(), f32)), pcfg, track,
+            scfg=plan_scfg, obstacles=obs, x0_state=x_state,
+        )
+        return table
+
+    table = table0 if table0 is not None else plan_now(0, x0)
+    from .lap_learning import _curv_stencil
+
+    curv_k = _curv_stencil(table)
+    ilc_update = jax.jit(
+        lambda p_hat, tbl, X, U, conv: learn_from_lap(
+            p_hat, cfg, ilc_cfg, track, tbl, X, U, wraps=wraps,
+            curv_k=curv_k, converged=conv)
+    )
+    segs: List = []
+    replan_steps = [0]
+    tables_vx = [np.asarray(table.vx)]
+    seg_X: List = []   # rolling filtered-state window for the ILC
+    seg_U: List = []
+    seg_C: List = []
+
+    n_segs = -(-T // replan_every)
+    for i in range(n_segs):
+        t = i * replan_every
+        obs = _obstacles_at(obstacles_fn, t, max_obstacle_rows)
+        carry, outs = segment(carry, table, obs)
+        segs.append(outs)
+        t_next = t + replan_every
+        if t_next >= T:
+            break
+        if ilc_every > 0:
+            seg_X.append(outs[1])   # filtered states
+            seg_U.append(outs[3])
+            seg_C.append(outs[5])   # solver convergence (learner backoff)
+            if (i + 1) % ilc_every == 0:
+                Xw_ = jnp.concatenate(seg_X[-ilc_every:], axis=0)
+                Uw_ = jnp.concatenate(seg_U[-ilc_every:], axis=0)
+                Cw_ = jnp.concatenate(seg_C[-ilc_every:], axis=0)
+                p_hat = p.replace(mu=jnp.asarray(current_mu(), f32))
+                table = ilc_update(p_hat, table, Xw_, Uw_, Cw_)
+                replan_steps.append(t_next)
+                tables_vx.append(np.asarray(table.vx))
+        else:
+            # replan from the current ESTIMATED state at the current mu-hat
+            table = plan_now(t_next, carry.ekf.x if use_ekf
+                             else carry.x_prev_f)
+            replan_steps.append(t_next)
+            tables_vx.append(np.asarray(table.vx))
+
+    cat = jax.tree.map(lambda *ls: np.concatenate(ls, axis=0)[:T], *segs)
+    Xg, Xf, Z, U, mu_hat, conv, iters = cat
+
+    # lap completions from the estimator's unwrapped s (the shared contract)
+    s_traj = Xf[:, 4]
+    L = float(track.length)
+    s0 = float(x0[4])
+    n_laps = int((s_traj[-1] - s0) // L)
+    lap_steps = np.asarray([
+        int(np.argmax(s_traj - s0 >= (k + 1) * L)) + 1
+        for k in range(n_laps)
+    ])
+    return RaceLog(
+        Xg=Xg, Xf=Xf, Z=Z, U=U, mu_hat=mu_hat, converged=conv, iters=iters,
+        replan_steps=np.asarray(replan_steps),
+        tables_vx=np.stack(tables_vx),
+        lap_steps=lap_steps,
+    )
+
+
+def _obstacles_at(obstacles_fn, t: int, max_rows: int):
+    if obstacles_fn is None:
+        return None
+    obs = obstacles_fn(t)
+    if obs is None:
+        return None
+    from ..planner.opponents import pad_blocks
+
+    return jnp.asarray(pad_blocks(obs, max_rows))

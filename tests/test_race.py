@@ -1,0 +1,113 @@
+"""Flagship composed race program (loop/race.py; VERDICT r3 missing #1).
+
+The full deployment composition — noisy measurement -> EKF -> friction RLS
+-> mu-aware MPP replanning (or ILC refinement) -> tracker -> world-frame
+plant — must reproduce the behaviors each subsystem shows in its pairwise
+tests: mu-hat converges to the plant's mu_true, the EKF beats the raw
+measurements, the corridor holds, laps complete, and (ILC mode) lap times
+improve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autonomous_racing_lpv_mpp_mpc_tpu.core import (
+    MPCConfig,
+    MPPConfig,
+    SolverConfig,
+    VehicleParams,
+)
+from autonomous_racing_lpv_mpp_mpc_tpu.loop import race_loop
+from autonomous_racing_lpv_mpp_mpc_tpu.loop.global_loop import estimate_frenet
+from autonomous_racing_lpv_mpp_mpc_tpu.track import oval_track
+
+P = VehicleParams()
+CFG = MPCConfig(N=10, model="dynamic", tire="pacejka")
+SCFG = SolverConfig(max_iter=60)
+SIGMA = np.array([0.03, 0.01, 0.02, 0.01, 0.02, 0.01], np.float32)
+
+
+@pytest.fixture(scope="module")
+def race_log():
+    track = oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    return track, race_loop(
+        P, CFG, SCFG, MPPConfig.for_model("dynamic", H=192, n_sqp=2),
+        track, x0, T=180, mu_true=0.6, mu0=1.0, replan_every=60,
+        noise_sigma=SIGMA, key=jax.random.PRNGKey(3),
+    )
+
+
+def test_race_composition_tracks_and_adapts(race_log):
+    track, log = race_log
+    # the car races: completes at least one lap, stays in the corridor
+    assert log.lap_steps.size >= 1, log.Xf[-1, 4]
+    assert np.abs(log.Xf[:, 5]).max() < 0.45, "corridor lost"
+    # formal-termination fraction at max_iter=60 (measured 0.85 on CPU at
+    # T=180; the on-chip T=720 preset run reaches 0.965) — non-terminated
+    # steps sit at residual ~1e-3, accepted by the eps_fallback check
+    assert log.converged.mean() > 0.8
+    # friction adaptation converges THROUGH the EKF (composition seam):
+    # plant at 0.6, controller seeded at 1.0
+    assert abs(float(log.mu_hat[-1]) - 0.6) < 0.15, log.mu_hat[-1]
+    # the estimate improved monotonically-ish: final error far below seed
+    assert abs(float(log.mu_hat[-1]) - 0.6) < 0.5 * abs(1.0 - 0.6)
+    # replanning actually happened, and the mu-aware replans slowed the
+    # friction-limited CORNER speed vs the mu0=1.0 initial plan
+    # (v_lim ~ sqrt(mu): 0.6/1.0 -> ~0.775x; peak straight speed is span-
+    # dependent across receding-horizon replans, so min is the invariant)
+    assert log.replan_steps.size >= 2
+    assert log.tables_vx[-1].min() < 0.9 * log.tables_vx[0].min()
+
+
+def test_race_ekf_beats_raw_measurements(race_log):
+    track, log = race_log
+    # true Frenet states from the world-frame truth (clean conversion,
+    # seeded by the estimator's own unwrapped s so laps don't alias).
+    # Alignment: Z[k]/Xf[k] measure the state AT step k, while Xg[k] is the
+    # state AFTER step k — so Xg[k] corresponds to Z[k+1]/Xf[k+1].
+    xf_true = np.stack([
+        np.asarray(estimate_frenet(track, jnp.asarray(xg), s_hint=s))
+        for xg, s in zip(log.Xg[:-1], log.Xf[1:, 4])
+    ])
+    # vy and e_y are where the filter wins cleanly; wz is measured
+    # directly with modest noise while its MODEL is biased until mu-hat
+    # converges, so break-even is the honest expectation there (measured
+    # r4: e_ekf/e_raw ~ 1.00 +- 0.01 on wz) — assert it is not degraded.
+    def rms_pair(i):
+        e_raw = np.sqrt(np.mean((log.Z[1:, i] - xf_true[:, i]) ** 2))
+        e_ekf = np.sqrt(np.mean((log.Xf[1:, i] - xf_true[:, i]) ** 2))
+        return e_ekf, e_raw
+
+    for i in (1, 5):
+        e_ekf, e_raw = rms_pair(i)
+        assert e_ekf < e_raw, (i, e_ekf, e_raw)
+    e_ekf, e_raw = rms_pair(2)
+    assert e_ekf < 1.1 * e_raw, (e_ekf, e_raw)
+
+
+def test_race_ilc_mode_improves_lap_times():
+    """Racing/learning mode: plan once, refine by ILC windows; with clean
+    measurements and matched friction the lap times must improve."""
+    track = oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import (
+        LapLearnConfig,
+        initial_table,
+    )
+
+    log = race_loop(
+        P, CFG, SCFG, MPPConfig.for_model("dynamic", H=192, n_sqp=2),
+        track, x0, T=660, mu_true=1.0, mu0=1.0, replan_every=60,
+        noise_sigma=None, use_ekf=False, adapt_mu=False,
+        ilc_every=2, ilc_cfg=LapLearnConfig(gain=0.7, dv_max=0.8),
+        table0=initial_table(track, ds=0.05, vx0=1.0),
+    )
+    assert log.lap_steps.size >= 2, log.lap_steps
+    lap_lengths = np.diff(np.concatenate([[0], log.lap_steps]))
+    assert lap_lengths[-1] < lap_lengths[0], lap_lengths
+    assert np.abs(log.Xf[:, 5]).max() < 0.45
+    # tables were refined, not replanned: vx grew toward the limit
+    assert log.tables_vx[-1].mean() > log.tables_vx[0].mean()
