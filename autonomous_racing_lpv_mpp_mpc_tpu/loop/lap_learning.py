@@ -57,10 +57,19 @@ class LapLearnConfig:
     ey_tol: float = 0.10     # |e_y - ey_ref| above this counts as a violation
     beta_line: float = 0.35  # racing-line / delta_ff learning rate
     v_floor: float = 0.5     # never command below this [m/s]
+    # obstacle memorization (constraint-aware ILC): the learned line is
+    # PROJECTED clear of every obstacle band by obs_margin, extended
+    # obs_lead metres before/after the block so the car pre-positions
+    # instead of lane-changing inside the tracker's short preview (the
+    # realized line alone converges to a marginal graze — measured r4)
+    # lead sized to the tracker's lateral settling distance (~1.5 m at the
+    # default soft steering-rate weights — measured r4 step response)
+    obs_margin: float = 0.06
+    obs_lead: float = 1.5
 
 
 class LapLearnLog(NamedTuple):
-    lap_steps: np.ndarray    # (n_laps,) steps to complete each lap (T if DNF)
+    lap_steps: np.ndarray    # (n_laps,) steps to complete each lap (T+1 if DNF)
     tables_vx: np.ndarray    # (n_laps + 1, n) vx profile before each lap
     table: RefTable          # final learned table
     last_log: NamedTuple     # ClosedLoopLog of the final lap
@@ -80,13 +89,32 @@ def initial_table(track: Track, ds: float = 0.05, vx0: float = 1.0) -> RefTable:
     )
 
 
+def _wraps_needed(v_max: float, a: float, L: float) -> int:
+    """Circular sweeps needed for the accel filter to reach fixed point.
+
+    Braking (or accelerating) between 0 and ``v_max`` spans at most
+    v_max^2 / (2 a) metres of grid; each wrap propagates one track length
+    ``L``, so ceil of the ratio (min 2) guarantees no seam violation
+    survives — the advisor-r3 sufficiency condition 2 a L >= v_max^2 made
+    exact for any profile/track combination.
+    """
+    span = v_max * v_max / (2.0 * max(a, 1e-6))
+    return max(2, int(np.ceil(span / max(L, 1e-6))))
+
+
+def _curv_stencil(table: RefTable) -> int:
+    """Line-curvature stencil half-width: ~0.25 m of grid (min 1 node)."""
+    return max(1, int(round(0.25 / float(table.ds))))
+
+
 def _accel_limit_circular(v, ds, a_acc, a_brake, wraps: int = 2):
     """Longitudinal-consistency filter on a circular v(s) profile.
 
     Forward pass caps acceleration (v_{i+1}^2 <= v_i^2 + 2 a_acc ds),
     backward pass caps braking (v_i^2 <= v_{i+1}^2 + 2 a_brake ds); each
     runs ``wraps`` times around the loop so limits propagate across the
-    start line. Both are O(n) scans — jit/vmap-clean.
+    start line (:func:`_wraps_needed` sizes it). Both are O(n) scans —
+    jit/vmap-clean.
     """
 
     def sweep(v, a):
@@ -103,6 +131,49 @@ def _accel_limit_circular(v, ds, a_acc, a_brake, wraps: int = 2):
     return v
 
 
+def _memorize_obstacles(llcfg, table, ey, ey_m, cnt, blocks, ey_room):
+    """Project the learned racing line clear of every obstacle band.
+
+    Constraint-aware ILC: the blended/smoothed line converges to the
+    REALIZED pass, which hugs the block edge; the commanded line must
+    instead clear the band by ``obs_margin``, starting ``obs_lead`` metres
+    early so the pre-positioning happens outside the tracker's preview.
+    Side choice: where the car actually drove (visited mean e_y inside the
+    block), falling back to the wider free side. Padding rows with
+    s0 > s1 never match (planner/opponents.py::pad_blocks semantics).
+    """
+    n = ey.shape[0]
+    grid_s = jnp.arange(n, dtype=jnp.float32) * table.ds
+    L = table.length
+    lead = jnp.maximum(jnp.asarray(llcfg.obs_lead, jnp.float32), 1e-3)
+    for i in range(blocks.shape[0]):
+        s0, s1, o_lo, o_hi = (blocks[i, j] for j in range(4))
+        span = s1 - s0                       # negative for padding rows
+        a = s0 - lead
+        sm = grid_s - a - L * jnp.floor((grid_s - a) / L)
+        inside = jnp.logical_and(span >= 0.0, sm <= span + 2.0 * lead)
+        # bounded-slope RAMP 0 -> 1 over the lead-in, hold 1 through the
+        # block, 1 -> 0 over the lead-out: a hard step here becomes a
+        # ~30 deg heading-reference spike through refs_from_table's slope
+        # term and collapses solver convergence (measured r4)
+        ramp = jnp.clip(jnp.minimum(sm, span + 2.0 * lead - sm) / lead,
+                        0.0, 1.0)
+        # realized side inside the block proper (no lead), visited nodes
+        sm_blk = grid_s - s0 - L * jnp.floor((grid_s - s0) / L)
+        in_blk = jnp.logical_and(span >= 0.0, sm_blk <= span)
+        w = jnp.where(jnp.logical_and(in_blk, cnt > 0.0), cnt, 0.0)
+        side_val = jnp.sum(w * ey_m)
+        free_side = jnp.where((ey_room - o_hi) >= (o_lo + ey_room), 1.0, -1.0)
+        side = jnp.where(jnp.sum(w) > 0.0,
+                         jnp.where(side_val >= 0.0, 1.0, -1.0), free_side)
+        target = jnp.where(side > 0.0, o_hi + llcfg.obs_margin,
+                           o_lo - llcfg.obs_margin) * ramp
+        pushed = jnp.where(side > 0.0, jnp.maximum(ey, target),
+                           jnp.minimum(ey, target))
+        ey = jnp.where(inside, pushed, ey)
+    return jnp.clip(ey, -ey_room, ey_room)
+
+
 def learn_from_lap(
     p: VehicleParams,
     cfg: MPCConfig,
@@ -111,6 +182,10 @@ def learn_from_lap(
     table: RefTable,
     X: jnp.ndarray,          # (T, nx) closed-loop states of the lap
     U: jnp.ndarray,          # (T, nu) applied controls
+    wraps: int = 2,          # accel-filter circular sweeps (_wraps_needed)
+    obstacles=None,          # optional (n_obs, 4) corridor blocks
+    curv_k: int = 1,         # line-curvature stencil half-width [nodes]
+    converged=None,          # optional (T,) per-step solver convergence
 ) -> RefTable:
     """One ILC update of the reference table from a realized lap (jittable)."""
     n = table.vx.shape[0]
@@ -129,43 +204,83 @@ def learn_from_lap(
     vx_m, ey_m, al_m, de_m = mean(vx), mean(ey), mean(jnp.abs(a_lat)), mean(U[:, 0])
     visited = cnt > 0.0
 
-    # node-local friction speed limit from the track's curvature table
-    grid_s = (jnp.arange(n, dtype=jnp.float32) + 0.5) * table.ds
-    kap = jnp.abs(curvature_at(track, grid_s))
-    a_cap = llcfg.a_lat_frac * p.mu * p.g
-    v_lim = jnp.sqrt(a_cap / jnp.maximum(kap, a_cap / cfg.bounds.vx_max**2))
-
+    # ---- racing line FIRST (the speed limit below reads its curvature)
     ey_room = track.width / 2.0 - 0.05
-    viol = (al_m > a_cap) | (jnp.abs(ey_m - table.ey) > llcfg.ey_tol) | (
-        jnp.abs(ey_m) > ey_room
-    )
-    headroom = jnp.clip(v_lim - vx_m, 0.0, llcfg.dv_max)
-    v_cand = jnp.where(viol, llcfg.shrink * vx_m, vx_m + llcfg.gain * headroom)
     smooth = lambda a: 0.25 * jnp.roll(a, 1) + 0.5 * a + 0.25 * jnp.roll(a, -1)
-    v_new = jnp.where(visited, v_cand, table.vx)
-    v_new = smooth(jnp.clip(v_new, llcfg.v_floor, cfg.bounds.vx_max))
-    # consistency LAST so the emitted profile respects the accel limits
-    v_new = _accel_limit_circular(
-        v_new, table.ds, cfg.bounds.a_max, -cfg.bounds.a_min
-    )
-
     blend = lambda old, new: jnp.where(
         visited, (1.0 - llcfg.beta_line) * old + llcfg.beta_line * new, old
     )
     ey_new = jnp.clip(smooth(blend(table.ey, ey_m)), -ey_room, ey_room)
+    if obstacles is not None:
+        ey_new = _memorize_obstacles(llcfg, table, ey_new, ey_m, cnt,
+                                     obstacles, ey_room)
     de_new = jnp.clip(
         smooth(blend(table.delta, de_m)),
         -cfg.bounds.delta_max,
         cfg.bounds.delta_max,
     )
+
+    # node-local friction speed limit from the COMMANDED PATH's curvature:
+    # track curvature (sampled at the node positions s = i*ds, the same s
+    # RefTable.lookup assigns to node i — advisor r3) corrected by the
+    # racing line's own second derivative. First-order Frenet path
+    # curvature kappa_path ~ kappa - e_y''(s): a lane change (obstacle
+    # memorization) ADDS curvature on a straight, apex-cutting REMOVES it
+    # in a corner — without this the vx learner kept raising speed through
+    # a memorized avoidance chicane until the maneuver became infeasible
+    # (measured r4: periodic near-DNF laps). The stencil spans ~0.25 m
+    # (``curv_k`` nodes) — the scale of the car's maneuvers, so projection
+    # plateau edges don't register as fake spikes.
+    grid_s = jnp.arange(n, dtype=jnp.float32) * table.ds
+    kap = curvature_at(track, grid_s)
+    k = max(1, curv_k)
+    ey2 = (jnp.roll(ey_new, -k) - 2.0 * ey_new + jnp.roll(ey_new, k)) / (
+        (k * table.ds) ** 2
+    )
+    kap_eff = jnp.abs(kap - ey2)
+    a_cap = llcfg.a_lat_frac * p.mu * p.g
+    v_lim = jnp.sqrt(
+        a_cap / jnp.maximum(kap_eff, a_cap / cfg.bounds.vx_max**2)
+    )
+
+    viol = (al_m > a_cap) | (jnp.abs(ey_m - table.ey) > llcfg.ey_tol) | (
+        jnp.abs(ey_m) > ey_room
+    )
+    if converged is not None:
+        # solver stress counts as a violation: where the tracker QP
+        # stopped converging the commanded profile has outrun feasibility
+        # (the failure mode measured r4: the learner kept accelerating a
+        # clean-looking lap until convergence collapsed and the limp-home
+        # fallback cut the racing line), so back off there like any limit
+        # breach instead of waiting for the crash to show up in e_y
+        conv_m = mean(jnp.asarray(converged, jnp.float32))
+        viol = viol | (conv_m < 0.8)
+    headroom = jnp.clip(v_lim - vx_m, 0.0, llcfg.dv_max)
+    v_cand = jnp.where(viol, llcfg.shrink * vx_m, vx_m + llcfg.gain * headroom)
+    v_new = jnp.where(visited, v_cand, table.vx)
+    v_new = jnp.minimum(v_new, v_lim)      # the cap binds even off-policy
+    v_new = smooth(jnp.clip(v_new, llcfg.v_floor, cfg.bounds.vx_max))
+    # consistency LAST so the emitted profile respects the accel limits
+    v_new = _accel_limit_circular(
+        v_new, table.ds, cfg.bounds.a_max, -cfg.bounds.a_min, wraps=wraps
+    )
     return table.replace(vx=v_new, ey=ey_new, delta=de_new)
 
 
-def lap_steps(cfg: MPCConfig, track: Track, X: jnp.ndarray, T: int):
-    """Steps until arc length crosses one track length (T if never)."""
+def lap_steps(cfg: MPCConfig, track: Track, X: jnp.ndarray, T: int,
+              s0=None):
+    """Steps until arc length crosses one track length from the lap start.
+
+    ``X[k]`` is the state AFTER control step k+1 (loop/closed_loop.py), so
+    with the start state's arc length ``s0`` the count includes the first
+    step's progress (advisor r3; without ``s0`` it falls back to measuring
+    from X[0], undercounting by about one step). DNF returns ``T + 1`` — a
+    sentinel distinguishable from a lap finishing exactly at step T.
+    """
     s_idx = 4 if cfg.model == "dynamic" else 2
-    done = (X[:, s_idx] - X[0, s_idx]) >= track.length
-    return jnp.where(done.any(), jnp.argmax(done), T)
+    start = X[0, s_idx] if s0 is None else s0
+    done = (X[:, s_idx] - start) >= track.length
+    return jnp.where(done.any(), jnp.argmax(done) + 1, T + 1)
 
 
 def iterative_lap_learning(
@@ -192,6 +307,10 @@ def iterative_lap_learning(
     """
     llcfg = llcfg or LapLearnConfig()
     table = table0 if table0 is not None else initial_table(track)
+    wraps = _wraps_needed(float(cfg.bounds.vx_max),
+                          min(float(cfg.bounds.a_max), -float(cfg.bounds.a_min)),
+                          float(track.length))
+    s_idx = 4 if cfg.model == "dynamic" else 2
 
     run_lap = jax.jit(
         lambda tbl: closed_loop(
@@ -199,10 +318,13 @@ def iterative_lap_learning(
             obstacles=obstacles,
         )
     )
+    curv_k = _curv_stencil(table)
     update = jax.jit(
-        lambda tbl, X, U: learn_from_lap(p, cfg, llcfg, track, tbl, X, U)
+        lambda tbl, X, U, conv: learn_from_lap(
+            p, cfg, llcfg, track, tbl, X, U, wraps=wraps,
+            obstacles=obstacles, curv_k=curv_k, converged=conv)
     )
-    steps_fn = jax.jit(lambda X: lap_steps(cfg, track, X, T_lap))
+    steps_fn = jax.jit(lambda X: lap_steps(cfg, track, X, T_lap, s0=x0[s_idx]))
 
     laps: List[int] = []
     vx_hist = [np.asarray(table.vx)]
@@ -210,7 +332,7 @@ def iterative_lap_learning(
     for _ in range(n_laps):
         log = run_lap(table)
         laps.append(int(steps_fn(log.X)))
-        table = update(table, log.X, log.U)
+        table = update(table, log.X, log.U, log.converged)
         vx_hist.append(np.asarray(table.vx))
 
     return LapLearnLog(
@@ -219,6 +341,73 @@ def iterative_lap_learning(
         table=table,
         last_log=log,
     )
+
+
+def batched_refs_from_tables(cfg: MPCConfig, table_b: RefTable,
+                             s_sched: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane references from PER-LANE tables (batch-last output).
+
+    ``table_b`` has leaves stacked (B, n); ``s_sched`` is the (N+1, B)
+    batch-last scheduled arc-length trajectory (megastep carry layout).
+    Returns (N+1, nx, B) for ``ops.megastep_kernel.megastep`` — the
+    batched-learning twin of ``megastep_refs``'s shared-table path.
+    """
+    from .mpc import refs_from_table
+
+    return jax.vmap(
+        lambda tbl, s: refs_from_table(cfg, tbl, s), in_axes=(0, 1),
+        out_axes=2,
+    )(table_b, s_sched)
+
+
+def mega_lap_rollout(
+    p_b: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    T_lap: int,
+    sim_tire: Optional[str] = None,
+    n_sub: int = 10,
+    interpret: bool = False,
+):
+    """Whole-lap rollout on the megastep kernel with PER-LANE ref tables.
+
+    Returns a jitted ``run(x0_b, table_b) -> (X, U, conv)`` with
+    batch-FIRST outputs ((B, T, nx) / (B, T, nu) / (T,)) so the ILC update
+    consumes it exactly like the XLA rollout — the flagship kernel carrying
+    the flagship capability (VERDICT r3 next #4): a 4096-lane learning
+    sweep rolls laps at the megastep rate instead of the XLA path's.
+    """
+    from ..ops.megastep_kernel import megastep, megastep_init, megastep_params
+
+    s_idx = 4 if cfg.model == "dynamic" else 2
+
+    @jax.jit
+    def run(x0_b, table_b: RefTable):
+        B = x0_b.shape[0]
+        prm = megastep_params(p_b, B)
+        carry = megastep_init(p_b, cfg, track, x0_b)
+
+        def step(car, _):
+            s_sched = jnp.concatenate([
+                car.x[s_idx][None],
+                car.X_pred[2:, s_idx],
+                car.X_pred[-1:, s_idx],
+            ], axis=0)                                   # (N+1, B)
+            xref_bl = batched_refs_from_tables(cfg, table_b, s_sched)
+            car2, u0, diag = megastep(
+                cfg, scfg, track, prm, xref_bl, car, n_sub=n_sub,
+                sim_tire=sim_tire, interpret=interpret,
+            )
+            return car2, (car2.x, u0, diag[2])
+
+        _, (X, U, conv) = jax.lax.scan(step, carry, None, length=T_lap)
+        # batch-last (T, nx, B) -> batch-first (B, T, nx); conv (T, B) ->
+        # (B, T) so the learner's per-lane convergence backoff sees it
+        return (jnp.moveaxis(X, -1, 0), jnp.moveaxis(U, -1, 0),
+                jnp.moveaxis(conv, -1, 0))
+
+    return run
 
 
 def batched_lap_learning(
@@ -232,6 +421,9 @@ def batched_lap_learning(
     llcfg: Optional[LapLearnConfig] = None,
     table0: Optional[RefTable] = None,
     sim_tire: Optional[str] = None,
+    obstacles=None,
+    backend: str = "xla",
+    mega_interpret: bool = False,
 ) -> LapLearnLog:
     """Learn a whole GRID of cars' profiles in parallel (DP analog).
 
@@ -240,30 +432,60 @@ def batched_lap_learning(
     one friction-dependent racing profile per lane in the same wall time as
     one car — the scenario-batching design of SURVEY.md §2.2 applied to the
     learning outer loop. Shard the batch axis with ``shard_map`` exactly
-    like ``parallel/scenarios.py`` for pod-scale sweeps.
+    like ``parallel/scenarios.py`` for pod-scale sweeps. Static
+    ``obstacles`` (corridor blocks, shared across lanes) behave exactly as
+    in :func:`iterative_lap_learning`.
     """
     llcfg = llcfg or LapLearnConfig()
     B = x0_b.shape[0]
     one = table0 if table0 is not None else initial_table(track)
     table = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+    wraps = _wraps_needed(float(cfg.bounds.vx_max),
+                          min(float(cfg.bounds.a_max), -float(cfg.bounds.a_min)),
+                          float(track.length))
+    s_idx = 4 if cfg.model == "dynamic" else 2
 
-    run_lap = jax.jit(jax.vmap(
-        lambda pp, x0, tbl: closed_loop(
-            pp, cfg, scfg, track, x0, tbl, T=T_lap, sim_tire=sim_tire
-        ),
-    ))
+    if backend == "mega":
+        # flagship-kernel rollout (VERDICT r3 next #4): one Pallas launch
+        # per step for the whole batch, per-lane tables sampled in XLA.
+        # The megastep path does not take per-stage corridor blocks, so
+        # obstacle sweeps stay on the XLA rollout.
+        assert obstacles is None, "mega backend: obstacles not supported"
+        mega_run = mega_lap_rollout(p_b, cfg, scfg, track, T_lap,
+                                    sim_tire=sim_tire,
+                                    interpret=mega_interpret)
+
+        class _MegaLog(NamedTuple):
+            X: jnp.ndarray
+            U: jnp.ndarray
+            converged: jnp.ndarray
+
+        def run_lap(pp, x0, tbl):
+            del pp  # params are baked into the rollout's prm operand
+            return _MegaLog(*mega_run(x0, tbl))
+    else:
+        run_lap = jax.jit(jax.vmap(
+            lambda pp, x0, tbl: closed_loop(
+                pp, cfg, scfg, track, x0, tbl, T=T_lap, sim_tire=sim_tire,
+                obstacles=obstacles,
+            ),
+        ))
+    curv_k = _curv_stencil(one)
     update = jax.jit(jax.vmap(
-        lambda pp, tbl, X, U: learn_from_lap(pp, cfg, llcfg, track, tbl, X, U),
+        lambda pp, tbl, X, U, conv: learn_from_lap(
+            pp, cfg, llcfg, track, tbl, X, U, wraps=wraps,
+            obstacles=obstacles, curv_k=curv_k, converged=conv),
     ))
-    steps_fn = jax.jit(jax.vmap(lambda X: lap_steps(cfg, track, X, T_lap)))
+    steps_fn = jax.jit(jax.vmap(
+        lambda X, x0: lap_steps(cfg, track, X, T_lap, s0=x0[s_idx])))
 
     laps: List[np.ndarray] = []
     vx_hist = [np.asarray(table.vx)]
     log = None
     for _ in range(n_laps):
         log = run_lap(p_b, x0_b, table)
-        laps.append(np.asarray(steps_fn(log.X)))
-        table = update(p_b, table, log.X, log.U)
+        laps.append(np.asarray(steps_fn(log.X, x0_b)))
+        table = update(p_b, table, log.X, log.U, log.converged)
         vx_hist.append(np.asarray(table.vx))
 
     return LapLearnLog(
