@@ -155,6 +155,17 @@ class SolverConfig:
     # single-solve path: early-exit while_loop on termination check;
     # batched path: fixed iteration count (static shapes). SURVEY.md §7 L4.
     check_termination: int = struct.field(pytree_node=False, default=5)
+    # mega-backend chunk-level early exit (ops/megastep_kernel.py): the
+    # kernel's ADMM loop stops as soon as EVERY lane in the 128-lane block
+    # passes the OSQP termination check at a chunk boundary — restoring
+    # OSQP's early-termination semantics on the batched fast path (a
+    # warm-started closed loop converges at ~10 of 20 iterations, so this
+    # is a large throughput lever). OFF by default: with it on, converged
+    # lanes stop refining at the chunk boundary instead of polishing for
+    # the remaining iterations, so results differ from the fixed-count
+    # backends at the eps_abs/eps_rel tolerance level (exact-parity tests
+    # keep it off; production/bench turn it on).
+    early_exit: bool = struct.field(pytree_node=False, default=False)
     # batched-solve backend: "xla" (vmapped scans), "pallas" (solver-only
     # VMEM kernel), "fused" (assembly+solver kernel, ops/fused_kernel.py),
     # or "mega" (the whole receding-horizon step incl. plant in one kernel,

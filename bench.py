@@ -54,6 +54,10 @@ def main():
     # per dispatch, so larger K amortizes it toward the on-device rate
     # (production runs whole laps as one jitted scan — loop/closed_loop.py)
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    # chunk-level all-lanes early exit on the mega backend (OSQP's
+    # early-termination semantics on the batched path; PERF.md r4): pass
+    # ee=0 as argv[4] to force the fixed-iteration-count protocol
+    early_exit = (sys.argv[4] != "ee=0") if len(sys.argv) > 4 else True
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
@@ -84,10 +88,13 @@ def main():
                     car2, _u0, diag = megastep(
                         cfg, scfg, track, prm, x_ref, car_i, n_sub=4
                     )
-                    return car2, jnp.mean(diag[2])
+                    return car2, (jnp.mean(diag[2]), jnp.mean(diag[4]))
 
-                carries, convs = jax.lax.scan(body, carries, None, length=K)
-                return carries.x, carries, convs
+                # convs drives the headline check; iters (mean done-at)
+                # shows warm-start health / early-exit effectiveness
+                carries, (convs, iters) = jax.lax.scan(
+                    body, carries, None, length=K)
+                return carries.x, carries, (convs, iters)
 
             return k_steps
 
@@ -101,10 +108,14 @@ def main():
                 xs2 = jax.vmap(
                     lambda pp, x, u: plant_step(pp, cfg, track, x, u, n_sub=4)
                 )(scen.params, xs_i, u_b)
-                return (xs2, car2), jnp.mean(diag.converged.astype(jnp.float32))
+                return (xs2, car2), (
+                    jnp.mean(diag.converged.astype(jnp.float32)),
+                    jnp.mean(diag.iters.astype(jnp.float32)),
+                )
 
-            (xs, carries), convs = jax.lax.scan(body, (xs, carries), None, length=K)
-            return xs, carries, convs
+            (xs, carries), (convs, iters) = jax.lax.scan(
+                body, (xs, carries), None, length=K)
+            return xs, carries, (convs, iters)
 
         return k_steps
 
@@ -126,9 +137,10 @@ def main():
     # backend="mega": whole step in one kernel (ops/megastep_kernel.py);
     # "fused": fused assembly+solver kernel with XLA prepare/plant;
     # "pallas": solver-only kernel; "xla": scans.
-    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend,
+                        early_exit=(early_exit and backend == "mega"))
     log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
-        f"backend={backend}")
+        f"backend={backend} early_exit={scfg.early_exit}")
 
     # warmup: compile + reach warm-started steady state; fall back down the
     # backend ladder if a kernel fails to compile on this stack
@@ -138,7 +150,7 @@ def main():
         k_steps = make_k_steps(scfg)
         carries = make_carries(scfg)
         try:
-            xs, carries, convs = k_steps(xs, carries)
+            xs, carries, (convs, iters) = k_steps(xs, carries)
             jax.block_until_ready(xs)
             break
         except Exception as e:
@@ -149,7 +161,8 @@ def main():
                 f"falling back to {nxt}")
             scfg = scfg.replace(backend=nxt)
     log(f"compile+first {K} steps: {time.perf_counter()-t0:.1f}s "
-        f"converged={float(convs.mean()):.3f}")
+        f"converged={float(convs.mean()):.3f} "
+        f"mean_done_at={float(iters.mean()):.1f}/{scfg.max_iter}")
 
     # timed runs: best-of-7 — each dispatch rides the tunnel, whose RTT
     # noise spans ~±8%; more trials tighten the max-performance estimate
@@ -157,7 +170,7 @@ def main():
     best = float("inf")
     for _ in range(7):
         t0 = time.perf_counter()
-        xs, carries, convs = k_steps(xs, carries)
+        xs, carries, (convs, iters) = k_steps(xs, carries)
         jax.block_until_ready(xs)
         best = min(best, time.perf_counter() - t0)
     solves_s = B * K / best

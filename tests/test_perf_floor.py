@@ -35,12 +35,17 @@ pytestmark = [
 # "Dispatch amortization"); fused/xla keep the K=10 protocol.
 MEGA_FLOOR = 1_450_000.0
 MEGA_K = 100
+# r4: chunk-level all-lanes early exit (ops/megastep_kernel.py) is the
+# bench/production default; measured 2,378,397 at K=100 (2,653,640 at the
+# K=500 headline protocol) — floor ~10% under the K=100 measurement.
+MEGA_EE_FLOOR = 2_100_000.0
 FUSED_FLOOR = 500_000.0
 XLA_FLOOR = 18_000.0
 LATENCY_BUDGET_MS = 33.3  # one control period at dt = 1/30
 
 
-def _throughput(backend: str, B: int = 4096, K: int = 10) -> float:
+def _throughput(backend: str, B: int = 4096, K: int = 10,
+                early_exit: bool = False) -> float:
     from autonomous_racing_lpv_mpp_mpc_tpu.core import (
         MPCConfig,
         SolverConfig,
@@ -62,7 +67,8 @@ def _throughput(backend: str, B: int = 4096, K: int = 10) -> float:
     scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=max(1, B // 64),
                               vx0=1.5)
     B = scen.batch
-    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend)
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend,
+                        early_exit=early_exit)
 
     if backend == "mega":
         from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
@@ -120,6 +126,14 @@ def _throughput(backend: str, B: int = 4096, K: int = 10) -> float:
 def test_megastep_throughput_floor():
     thr = _throughput("mega", K=MEGA_K)
     assert thr >= MEGA_FLOOR, f"megastep regressed: {thr:,.0f} < {MEGA_FLOOR:,.0f}"
+
+
+def test_megastep_early_exit_throughput_floor():
+    """The production/bench default path (chunk-level early exit) holds
+    its own floor — and must actually be FASTER than fixed-count."""
+    thr = _throughput("mega", K=MEGA_K, early_exit=True)
+    assert thr >= MEGA_EE_FLOOR, (
+        f"early-exit megastep regressed: {thr:,.0f} < {MEGA_EE_FLOOR:,.0f}")
 
 
 def test_megastep_compile_time_budget():
