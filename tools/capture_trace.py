@@ -47,13 +47,17 @@ def main():
         trace_to,
     )
 
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "artifacts/trace_r3"
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "artifacts/trace_r4"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    # ee=0 as argv[4] forces the fixed-iteration-count protocol (bench.py
+    # parity: early exit is the default headline protocol since r4)
+    early_exit = (sys.argv[4] != "ee=0") if len(sys.argv) > 4 else True
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
-    scfg = SolverConfig(max_iter=20, rho_interval=0, backend="mega")
+    scfg = SolverConfig(max_iter=20, rho_interval=0, backend="mega",
+                        early_exit=early_exit)
     track = racetrack()
     x_ref = constant_refs(cfg, 1.8)
     scen = make_scenario_grid(p, cfg, n_ey=min(64, B), n_mu=max(1, B // 64),
