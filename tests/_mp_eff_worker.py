@@ -5,8 +5,10 @@ process boundary (VERDICT r2 missing #1 / next-round #3).
 Runs the config5 preset under the 2-process gloo runtime: each process
 times its own per-process workload on a local-devices-only mesh
 (concurrently, contention-matched) and the identical per-process workload
-on the global 2-process mesh; efficiency = max_p(t_local) / t_global.
-Prints one EFOK line with the preset's reported numbers.
+on the global 2-process mesh; efficiency = max_p(t_local) / t_global,
+from MEDIANS over 5 interleaved leg pairs (VERDICT r3 weak #2: one
+background-load spike must not pollute the ratio). Prints one EFOK line
+with the preset's reported numbers.
 """
 
 import sys
@@ -24,7 +26,7 @@ def main() -> None:
 
     from autonomous_racing_lpv_mpp_mpc_tpu.bench.presets import run_preset
 
-    out = run_preset("config5", per_device=8, T=6)
+    out = run_preset("config5", per_device=8, T=6, trials=5)
     assert out["processes"] == 2, out
     print(
         "EFOK"
