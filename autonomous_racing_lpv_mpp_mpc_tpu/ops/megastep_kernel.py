@@ -416,7 +416,12 @@ def _megastep_kernel(
                 ee_cond, ee_body, (jnp.int32(0), jnp.asarray(False))
             )
         if rem:
-            jax.lax.fori_loop(0, rem, iteration, 0)
+            # remainder iterations only if some lane is still unconverged
+            # (a plain fori here made check=3 SLOWER than check=5: the
+            # rem=2 tail ran even for fully-converged blocks — measured)
+            @pl.when(jnp.logical_not(jnp.all(stats_out[4] >= 0.0)))
+            def _rem_tail():
+                jax.lax.fori_loop(0, rem, iteration, 0)
     else:
         def chunk(c, _):
             jax.lax.fori_loop(0, check, iteration, 0)

@@ -56,8 +56,14 @@ def main():
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 500
     # chunk-level all-lanes early exit on the mega backend (OSQP's
     # early-termination semantics on the batched path; PERF.md r4): pass
-    # ee=0 as argv[4] to force the fixed-iteration-count protocol
+    # ee=0 as argv[4] to force the fixed-iteration-count protocol, and
+    # check=N as argv[5] to override the termination-check cadence
     early_exit = (sys.argv[4] != "ee=0") if len(sys.argv) > 4 else True
+    # default cadence: 2 with early exit (finer exit granularity, +3%
+    # measured), 5 for the fixed-count control (r1-r3 protocol parity —
+    # more checks only cost there)
+    check = (int(sys.argv[5].split("=")[1]) if len(sys.argv) > 5
+             else (2 if early_exit else 5))
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
@@ -138,9 +144,10 @@ def main():
     # "fused": fused assembly+solver kernel with XLA prepare/plant;
     # "pallas": solver-only kernel; "xla": scans.
     scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend,
-                        early_exit=(early_exit and backend == "mega"))
+                        early_exit=(early_exit and backend == "mega"),
+                        check_termination=check)
     log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
-        f"backend={backend} early_exit={scfg.early_exit}")
+        f"backend={backend} early_exit={scfg.early_exit} check={check}")
 
     # warmup: compile + reach warm-started steady state; fall back down the
     # backend ladder if a kernel fails to compile on this stack
