@@ -111,3 +111,38 @@ def test_race_ilc_mode_improves_lap_times():
     assert np.abs(log.Xf[:, 5]).max() < 0.45
     # tables were refined, not replanned: vx grew toward the limit
     assert log.tables_vx[-1].mean() > log.tables_vx[0].mean()
+
+
+def test_race_with_obstacle_avoids():
+    """Obstacles through the COMPOSED loop (the last untested flagship
+    branch): a parked corridor block reaches both the mu-aware replanner
+    and the tracker bounds while the EKF and friction RLS run — the car
+    must route around the band and keep adapting."""
+    track = oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    blocks = np.array([[4.0, 5.0, -0.4, 0.1]], np.float32)
+
+    log = race_loop(
+        P, CFG, SCFG, MPPConfig.for_model("dynamic", H=192, n_sqp=2),
+        track, x0, T=240, mu_true=0.8, mu0=1.0, replan_every=60,
+        noise_sigma=SIGMA, key=jax.random.PRNGKey(5),
+        obstacles_fn=lambda t: blocks,
+    )
+    # made progress and kept adapting
+    assert log.Xf[-1, 4] > track.length, log.Xf[-1, 4]
+    assert abs(float(log.mu_hat[-1]) - 0.8) < 0.2, log.mu_hat[-1]
+    # once the composition settles (EKF covariance, mu-hat, warm starts:
+    # one lap — the first encounter grazes the band edge while the
+    # estimator still trusts the wrong-mu model), passes through the
+    # block's s-range stay clear of the banned band
+    # (block occupies ey in [-0.4, 0.1] -> pass must be ABOVE 0.1)
+    s_unwrapped = np.asarray(log.Xf[:, 4])
+    sm = s_unwrapped % float(track.length)
+    in_blk = (sm >= 4.1) & (sm <= 4.9) & (s_unwrapped > float(track.length))
+    assert in_blk.any()
+    # blocks are Minkowski-inflated by convention (planner/opponents.py),
+    # so riding the inflated edge (0.1) is the commanded optimum — allow
+    # measurement-noise-level grazing of the padding, never the body
+    ey_pass = np.asarray(log.Xf[in_blk, 5])
+    assert ey_pass.min() > 0.08, ey_pass
+    assert ey_pass.mean() > 0.1, ey_pass

@@ -180,3 +180,20 @@ def test_cli_run_learn(capsys):
     assert len(out["lap_times_s"]) == 2
     assert out["improvement_pct"] > 3.0
     assert out["ey_max_m"] < 0.4
+
+
+def test_cli_run_race(capsys):
+    """The flagship 'race' preset through the CLI (loop/race.py): the
+    composed stack adapts mu through the EKF and keeps the corridor on a
+    short oval run."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.cli import main
+
+    rc = main(["run", "race", "T=150", "track_name=oval",
+               "mu_true=0.7", "replan_every=50"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["preset"] == "race" and out["mode"] == "replan"
+    assert abs(out["mu_hat_final"] - 0.7) < 0.2
+    assert out["ey_max_m"] < 0.4
+    assert out["converged_frac"] > 0.75
+    assert out["table_updates"] >= 2
