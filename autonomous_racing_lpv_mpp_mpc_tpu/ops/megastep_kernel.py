@@ -574,6 +574,8 @@ def megastep(
     block: int = PALLAS_BLOCK,
     unroll_sweeps: bool = True,
     unroll_iters: bool = False,
+    squarings: int = 4,
+    order: int = 6,
 ):
     """One full closed-loop step for every scenario, in one kernel launch.
 
@@ -634,6 +636,8 @@ def megastep(
         unroll_sweeps=unroll_sweeps,
         unroll_iters=unroll_iters,
         model=cfg.model,
+        squarings=squarings,
+        order=order,
     )
 
     out_shapes = (
