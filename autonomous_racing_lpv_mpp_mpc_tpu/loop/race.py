@@ -97,9 +97,12 @@ def _make_segment(
     adapt_mu: bool,
     ekf_q,
 ):
-    """One jitted tracking segment of the composed loop (compiled once)."""
+    """One jitted tracking segment of the composed loop (compiled once).
+
+    ``mu_true`` may be overridden per call with a TRACED scalar (the
+    batched sweep vmaps it), so the plant friction is a runtime value.
+    """
     f32 = jnp.float32
-    p_plant = p.replace(mu=jnp.asarray(mu_true, f32))
     nx = 6
     Qn = jnp.diag(jnp.asarray(ekf_q, f32))
     Rn = (
@@ -109,7 +112,11 @@ def _make_segment(
     )
 
     @jax.jit
-    def run(carry: RaceCarry, table: RefTable, obstacles=None):
+    def run(carry: RaceCarry, table: RefTable, obstacles=None,
+            mu_plant=None):
+        p_plant = p.replace(
+            mu=jnp.asarray(mu_true if mu_plant is None else mu_plant, f32))
+
         def step(c: RaceCarry, _):
             key, kn = jax.random.split(c.key)
             # 2. measure: world -> Frenet around the previous unwrapped s
@@ -321,3 +328,70 @@ def _obstacles_at(obstacles_fn, t: int, max_rows: int):
     from ..planner.opponents import pad_blocks
 
     return jnp.asarray(pad_blocks(obs, max_rows))
+
+
+class BatchedRaceLog(NamedTuple):
+    Xg: jnp.ndarray         # (B, T, 6) true world states
+    Xf: jnp.ndarray         # (B, T, 6) filtered states fed to the MPC
+    U: jnp.ndarray          # (B, T, 2)
+    mu_hat: jnp.ndarray     # (B, T)
+    converged: jnp.ndarray  # (B, T)
+
+
+def batched_race_sweep(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    table: RefTable,             # shared racing line / speed profile
+    x0_b: jnp.ndarray,           # (B, 6) initial TRUE states, Frenet
+    T: int,
+    mu_true_b: jnp.ndarray,      # (B,) per-lane PLANT friction
+    mu0: float = 1.0,
+    noise_sigma=None,
+    key: Optional[jnp.ndarray] = None,
+    use_ekf: bool = True,
+    adapt_mu: bool = True,
+    sim_tire: str = "pacejka",
+    n_sub: int = 10,
+    ekf_q=None,
+) -> BatchedRaceLog:
+    """Monte-Carlo of the COMPOSED deployment stack (ROADMAP r5 #1, the
+    scenario-batching design of SURVEY §2.2 applied to the FULL loop):
+    B independent cars — each with its own plant friction, sensor-noise
+    stream, EKF, friction RLS and warm-started tracker — run the whole
+    estimate -> adapt -> solve -> apply -> simulate chain as ONE vmapped
+    jitted scan following a shared table. Per-lane mu-hat must converge
+    to per-lane mu_true: the adaptation pipeline is fully batched.
+    """
+    if cfg.model != "dynamic":
+        raise ValueError("the composed sweep needs the dynamic model")
+    f32 = jnp.float32
+    B = x0_b.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, B)
+    if ekf_q is None:
+        ekf_q = np.array([1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4], np.float32)
+
+    segment = _make_segment(
+        p, cfg, scfg, track, T, mu0, mu0, sim_tire, n_sub,
+        noise_sigma, use_ekf, adapt_mu, ekf_q,
+    )
+    p_ctrl = p.replace(mu=jnp.asarray(mu0, f32))
+
+    def mk_carry(x0, k):
+        Xw, Yw, psiw = frenet_to_global(track, x0[4], x0[5], x0[3])
+        xg0 = jnp.stack([x0[0], x0[1], x0[2], Xw, Yw, psiw])
+        return RaceCarry(
+            xg=xg0, mpc=mpc_init(p_ctrl, cfg, track, x0), ekf=ekf_init(x0),
+            fric=friction_init(mu0), x_prev_f=x0,
+            u_prev=jnp.zeros(2, f32), key=k,
+        )
+
+    carry_b = jax.vmap(mk_carry)(jnp.asarray(x0_b, f32), keys)
+    _, outs = jax.vmap(
+        lambda c, m: segment(c, table, None, m), in_axes=(0, 0)
+    )(carry_b, jnp.asarray(mu_true_b, f32))
+    Xg, Xf, _Z, U, mu_hat, conv, _it = outs
+    return BatchedRaceLog(Xg=Xg, Xf=Xf, U=U, mu_hat=mu_hat, converged=conv)

@@ -146,3 +146,36 @@ def test_race_with_obstacle_avoids():
     ey_pass = np.asarray(log.Xf[in_blk, 5])
     assert ey_pass.min() > 0.08, ey_pass
     assert ey_pass.mean() > 0.1, ey_pass
+
+
+def test_batched_race_sweep_per_lane_adaptation():
+    """The COMPOSED stack vmapped over scenarios (ROADMAP r5 #1): three
+    cars with different PLANT frictions run the full measurement -> EKF ->
+    RLS -> tracker -> plant chain in one program following a shared table;
+    each lane's mu-hat must converge to ITS OWN plant mu."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import batched_race_sweep
+    from autonomous_racing_lpv_mpp_mpc_tpu.planner import plan_mpp
+
+    track = oval_track()
+    # plan the SHARED table for the worst plausible surface (deployment
+    # practice: plan conservative, adapt up) — a full-grip plan slides
+    # the mu=0.5 lane 0.5 m off line before its mu-hat settles (measured)
+    table, _ = plan_mpp(
+        P.replace(mu=jnp.asarray(0.5, jnp.float32)),
+        MPPConfig.for_model("dynamic", H=192, n_sqp=2), track)
+    B = 3
+    mu_true_b = jnp.array([0.5, 0.8, 1.1], jnp.float32)
+    x0_b = jnp.zeros((B, 6)).at[:, 0].set(1.0)
+    log = batched_race_sweep(
+        P, CFG, SCFG, track, table, x0_b, T=200, mu_true_b=mu_true_b,
+        mu0=0.8, noise_sigma=SIGMA, key=jax.random.PRNGKey(11),
+    )
+    mu_fin = np.asarray(log.mu_hat[:, -1])
+    for i, mt in enumerate([0.5, 0.8, 1.1]):
+        assert abs(mu_fin[i] - mt) < 0.2, (i, mu_fin)
+    # ordering is the sharper invariant: per-lane RLS states are
+    # independent inside one vmapped program
+    assert mu_fin[0] < mu_fin[1] < mu_fin[2], mu_fin
+    # everyone kept the corridor and made progress
+    assert np.abs(np.asarray(log.Xf[..., 5])).max() < 0.45
+    assert (np.asarray(log.Xf[:, -1, 4]) > 4.0).all()
