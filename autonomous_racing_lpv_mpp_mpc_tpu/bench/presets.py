@@ -483,12 +483,61 @@ def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
     }
 
 
+def race_sweep(p: VehicleParams, scfg: SolverConfig, batch: int = 1024,
+               T: int = 600, mu_lo: float = 0.5, mu_hi: float = 1.2,
+               **kw) -> Dict:
+    """Deployment-stack Monte-Carlo (loop/race.py::batched_race_sweep):
+    ``batch`` independent cars, each with its own plant friction (swept
+    mu_lo..mu_hi), sensor noise, EKF, friction RLS and tracker, as ONE
+    vmapped jitted scan following a worst-surface-planned shared table.
+    Reports the per-lane adaptation quality and corridor statistics."""
+    import time as _time
+
+    from ..core.config import MPPConfig
+    from ..loop import batched_race_sweep
+    from ..planner import plan_mpp
+
+    cfg = MPCConfig(N=12, model="dynamic", tire="pacejka")
+    scfg_r = scfg.replace(max_iter=max(scfg.max_iter, 40))
+    track = racetrack()
+    table, _ = plan_mpp(
+        p.replace(mu=jnp.asarray(mu_lo, jnp.float32)),
+        MPPConfig.for_model("dynamic", H=256, n_sqp=2), track)
+    mu_true_b = jnp.asarray(np.linspace(mu_lo, mu_hi, batch), jnp.float32)
+    x0_b = jnp.zeros((batch, 6)).at[:, 0].set(1.0)
+    sigma = np.array([0.03, 0.01, 0.02, 0.01, 0.02, 0.01], np.float32)
+    t0 = _time.time()
+    log = batched_race_sweep(p, cfg, scfg_r, track, table, x0_b, T=T,
+                             mu_true_b=mu_true_b, mu0=0.5 * (mu_lo + mu_hi),
+                             noise_sigma=sigma)
+    jax.block_until_ready(log.mu_hat)
+    wall = _time.time() - t0
+    mu_fin = np.asarray(log.mu_hat[:, -1])
+    err = np.abs(mu_fin - np.asarray(mu_true_b))
+    ey = np.abs(np.asarray(log.Xf[..., 5]))
+    return {
+        "preset": "race_sweep",
+        "batch": batch,
+        "composed_steps": batch * T,
+        "wall_s": round(wall, 1),
+        "steps_per_s": round(batch * T / wall, 1),
+        "mu_err_median": round(float(np.median(err)), 4),
+        "mu_err_p90": round(float(np.percentile(err, 90)), 4),
+        "mu_corr": round(float(np.corrcoef(
+            mu_fin, np.asarray(mu_true_b))[0, 1]), 4),
+        "ey_p99_m": round(float(np.percentile(ey, 99)), 4),
+        "ey_max_m": round(float(ey.max()), 4),
+        "converged_frac": round(float(np.asarray(log.converged).mean()), 3),
+    }
+
+
 PRESETS: Dict[str, Callable] = {
     "config1": config1,
     "config1_planner": config1_planner,
     "adaptive": adaptive,
     "learn": learn,
     "race": race,
+    "race_sweep": race_sweep,
     "config2": config2,
     "config3": config3,
     "config4": config4,
