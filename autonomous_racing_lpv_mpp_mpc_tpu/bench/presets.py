@@ -30,6 +30,17 @@ from ..track import oval_track, racetrack
 from ..utils.metrics import lap_stats
 
 
+def _warn_unused(preset: str, kw: Dict) -> None:
+    """Mistyped knobs (e.g. mutrue= for mu_true=) must not be silently
+    dropped — the run would report plausible numbers for the wrong
+    configuration."""
+    if kw:
+        import warnings
+
+        warnings.warn(f"{preset} preset ignoring unknown knobs: "
+                      f"{sorted(kw)}", stacklevel=3)
+
+
 def _maybe_plot(cfg, track, log, plot):
     if plot:
         from ..utils.plotting import plot_run
@@ -381,11 +392,7 @@ def learn(p: VehicleParams, scfg: SolverConfig, n_laps: int = 6,
 
     if not vx0 > 0.0:
         raise ValueError(f"learn preset needs vx0 > 0 (got {vx0})")
-    if kw:  # mistyped knobs (e.g. nlaps=) must not be silently dropped
-        import warnings
-
-        warnings.warn(f"learn preset ignoring unknown knobs: {sorted(kw)}",
-                      stacklevel=2)
+    _warn_unused("learn", kw)
     cfg = MPCConfig(N=12, model="dynamic")
     track = oval_track(ds=0.05) if track_name == "oval" else racetrack(ds=0.05)
     if not T_lap:  # enough steps to finish a lap at the seed speed + margin
@@ -435,6 +442,8 @@ def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
     updates from MPP replans to between-window ILC refinement."""
     from ..core.config import MPPConfig
     from ..loop import LapLearnConfig, initial_table, race_loop
+
+    _warn_unused("race", kw)
 
     cfg = MPCConfig(N=12, model="dynamic", tire="pacejka")
     scfg_r = scfg.replace(max_iter=max(scfg.max_iter, 60))
@@ -496,6 +505,8 @@ def race_sweep(p: VehicleParams, scfg: SolverConfig, batch: int = 1024,
     from ..core.config import MPPConfig
     from ..loop import batched_race_sweep
     from ..planner import plan_mpp
+
+    _warn_unused("race_sweep", kw)
 
     cfg = MPCConfig(N=12, model="dynamic", tire="pacejka")
     scfg_r = scfg.replace(max_iter=max(scfg.max_iter, 40))

@@ -79,14 +79,14 @@ def realtime_tracking_loop(
     import jax.numpy as jnp
     import numpy as _np
 
-    from ..loop.estimator import ekf_init, ekf_step
+    from ..loop.estimator import DEFAULT_EKF_Q, ekf_init, ekf_step
     from ..loop.mpc import mpc_init, mpc_step
 
     nx = model_nx(cfg.model)
     deadline = float(deadline_s if deadline_s is not None else cfg.dt)
     if ekf_q is None:
-        ekf_q = (_np.array([1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4])[:nx]
-                 if nx == 6 else _np.full(nx, 1e-3))
+        ekf_q = (_np.asarray(DEFAULT_EKF_Q) if nx == 6
+                 else _np.full(nx, 1e-3))
     if ekf_r is None:
         ekf_r = _np.full(nx, 1e-4)
     Qn = jnp.diag(jnp.asarray(ekf_q, jnp.float32))

@@ -22,6 +22,15 @@ from ..models import f_model, model_nx
 from ..track.track import Track, curvature_at
 
 
+# model-mismatch-aware process-noise default for the dynamic (nx=6) model:
+# the velocity channels carry the force-model error (unknown mu scales the
+# tire forces -> vy_dot/wz_dot bias), so they get ~10x the variance of the
+# kinematic pose channels. Measured r4: a uniformly-confident Q made the
+# EKF trust the wrong-mu yaw model enough to DEGRADE wz below the raw
+# measurement. Shared by loop/race.py and io/realtime.py.
+DEFAULT_EKF_Q = (1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4)
+
+
 def passthrough(x: jnp.ndarray) -> jnp.ndarray:
     return x
 

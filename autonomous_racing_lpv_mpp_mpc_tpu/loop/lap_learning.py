@@ -167,10 +167,15 @@ def _memorize_obstacles(llcfg, table, ey, ey_m, cnt, blocks, ey_room):
         side = jnp.where(jnp.sum(w) > 0.0,
                          jnp.where(side_val >= 0.0, 1.0, -1.0), free_side)
         target = jnp.where(side > 0.0, o_hi + llcfg.obs_margin,
-                           o_lo - llcfg.obs_margin) * ramp
+                           o_lo - llcfg.obs_margin)
+        # interpolate from the LEARNED LINE to the full-clearance
+        # projection along the ramp (not target*ramp: scaling the target
+        # toward ey=0 made the constraint STRICTEST at the ramp edges for
+        # any block whose clearance edge shares the centerline's side —
+        # r4 review finding)
         pushed = jnp.where(side > 0.0, jnp.maximum(ey, target),
                            jnp.minimum(ey, target))
-        ey = jnp.where(inside, pushed, ey)
+        ey = jnp.where(inside, ey + ramp * (pushed - ey), ey)
     return jnp.clip(ey, -ey_room, ey_room)
 
 
@@ -223,11 +228,15 @@ def learn_from_lap(
     # node-local friction speed limit from the COMMANDED PATH's curvature:
     # track curvature (sampled at the node positions s = i*ds, the same s
     # RefTable.lookup assigns to node i — advisor r3) corrected by the
-    # racing line's own second derivative. First-order Frenet path
-    # curvature kappa_path ~ kappa - e_y''(s): a lane change (obstacle
-    # memorization) ADDS curvature on a straight, apex-cutting REMOVES it
-    # in a corner — without this the vx learner kept raising speed through
-    # a memorized avoidance chicane until the maneuver became infeasible
+    # racing line's own second derivative. With this repo's conventions
+    # (e_y positive along the LEFT normal, kappa positive-left — see
+    # track.py::frenet_to_global and dynamics.py's depsi = wz - kappa*s')
+    # the first-order Frenet offset-path curvature is
+    # kappa_path ~ kappa + e_y''(s): a lane change (obstacle memorization)
+    # ADDS curvature on a straight, and apex-cutting (e_y bulging toward
+    # the inside, e_y'' < 0 at a left apex) REMOVES it in a corner —
+    # without this cap the vx learner kept raising speed through a
+    # memorized avoidance chicane until the maneuver became infeasible
     # (measured r4: periodic near-DNF laps). The stencil spans ~0.25 m
     # (``curv_k`` nodes) — the scale of the car's maneuvers, so projection
     # plateau edges don't register as fake spikes.
@@ -237,7 +246,14 @@ def learn_from_lap(
     ey2 = (jnp.roll(ey_new, -k) - 2.0 * ey_new + jnp.roll(ey_new, k)) / (
         (k * table.ds) ** 2
     )
-    kap_eff = jnp.abs(kap - ey2)
+    # conservative upper bound |kappa| + |e_y''| >= |kappa + e_y''| on
+    # purpose: the line's curvature only TIGHTENS the cap (chicanes — the
+    # validated r4 failure mode) and never credits speed, in corners OR
+    # on straights. The exact first-order physics (kappa + e_y'') would
+    # credit apex cuts, but the e_y'' estimate is a second difference of
+    # the binned realized line and granting speed on that noisy signal
+    # measured as lap-time oscillation with near-DNF laps (r4).
+    kap_eff = jnp.abs(kap) + jnp.abs(ey2)
     a_cap = llcfg.a_lat_frac * p.mu * p.g
     v_lim = jnp.sqrt(
         a_cap / jnp.maximum(kap_eff, a_cap / cfg.bounds.vx_max**2)

@@ -50,7 +50,7 @@ from ..core.config import MPCConfig, MPPConfig, SolverConfig, VehicleParams
 from ..planner.mpp import plan_mpp
 from ..planner.reftable import RefTable
 from ..track.track import Track, frenet_to_global
-from .estimator import EKFState, ekf_init, ekf_step
+from .estimator import DEFAULT_EKF_Q, EKFState, ekf_init, ekf_step
 from .friction import FrictionState, friction_init, friction_step
 from .global_loop import estimate_frenet, global_plant_step
 from .lap_learning import LapLearnConfig, _wraps_needed, learn_from_lap
@@ -210,13 +210,7 @@ def race_loop(
     f32 = jnp.float32
     x0 = jnp.asarray(x0, f32)
     if ekf_q is None:
-        # default process noise: the velocity channels carry the model
-        # mismatch (unknown mu scales the tire forces -> vy_dot/wz_dot
-        # bias), so they get an order more process noise than the
-        # kinematic pose channels — measured r4: a uniform 1e-4 makes the
-        # EKF trust the wrong-mu yaw model enough to DEGRADE wz vs the
-        # raw measurement; this split keeps vy/ey wins and fixes wz
-        ekf_q = np.array([1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4], np.float32)
+        ekf_q = np.asarray(DEFAULT_EKF_Q, np.float32)
 
     segment = _make_segment(
         p, cfg, scfg, track, replan_every, mu_true, mu0, sim_tire, n_sub,
@@ -259,11 +253,21 @@ def race_loop(
     from .lap_learning import _curv_stencil
 
     curv_k = _curv_stencil(table)
+    # the ILC update is obstacle-aware too (r4 review finding: without it
+    # the learned line converges onto a graze of the block edge and then
+    # fights the tracker's corridor every lap); obstacles arrive as a
+    # traced fixed-shape padded array so moving corridors never retrace
     ilc_update = jax.jit(
-        lambda p_hat, tbl, X, U, conv: learn_from_lap(
+        lambda p_hat, tbl, X, U, conv, obs: learn_from_lap(
             p_hat, cfg, ilc_cfg, track, tbl, X, U, wraps=wraps,
-            curv_k=curv_k, converged=conv)
+            curv_k=curv_k, converged=conv, obstacles=obs)
     )
+    from ..planner.opponents import pad_blocks
+
+    def padded_obstacles(t: int):
+        return jnp.asarray(pad_blocks(
+            obstacles_fn(t) if obstacles_fn is not None else None,
+            max_obstacle_rows))
     segs: List = []
     replan_steps = [0]
     tables_vx = [np.asarray(table.vx)]
@@ -289,9 +293,14 @@ def race_loop(
                 Uw_ = jnp.concatenate(seg_U[-ilc_every:], axis=0)
                 Cw_ = jnp.concatenate(seg_C[-ilc_every:], axis=0)
                 p_hat = p.replace(mu=jnp.asarray(current_mu(), f32))
-                table = ilc_update(p_hat, table, Xw_, Uw_, Cw_)
+                table = ilc_update(p_hat, table, Xw_, Uw_, Cw_,
+                                   padded_obstacles(t_next))
                 replan_steps.append(t_next)
                 tables_vx.append(np.asarray(table.vx))
+                # only the last window is ever read again — drop older
+                # segment buffers so long runs don't pin O(T) device
+                # memory (r4 review finding)
+                del seg_X[:-ilc_every], seg_U[:-ilc_every], seg_C[:-ilc_every]
         else:
             # replan from the current ESTIMATED state at the current mu-hat
             table = plan_now(t_next, carry.ekf.x if use_ekf
@@ -372,7 +381,7 @@ def batched_race_sweep(
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, B)
     if ekf_q is None:
-        ekf_q = np.array([1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4], np.float32)
+        ekf_q = np.asarray(DEFAULT_EKF_Q, np.float32)
 
     segment = _make_segment(
         p, cfg, scfg, track, T, mu0, mu0, sim_tire, n_sub,
