@@ -131,21 +131,32 @@ def _accel_limit_circular(v, ds, a_acc, a_brake, wraps: int = 2):
     return v
 
 
-def _memorize_obstacles(llcfg, table, ey, ey_m, cnt, blocks, ey_room):
+def _memorize_obstacles(p, cfg, llcfg, track, table, ey, blocks, ey_room):
     """Project the learned racing line clear of every obstacle band.
 
     Constraint-aware ILC: the blended/smoothed line converges to the
     REALIZED pass, which hugs the block edge; the commanded line must
     instead clear the band by ``obs_margin``, starting ``obs_lead`` metres
     early so the pre-positioning happens outside the tracker's preview.
-    Side choice: where the car actually drove (visited mean e_y inside the
-    block), falling back to the wider free side. Padding rows with
-    s0 > s1 never match (planner/opponents.py::pad_blocks semantics).
+
+    Side choice: EXACTLY the tracker corridor's logic
+    (engine/assembly.py::corridor_from_blocks — widest USABLE side, with
+    the inside of a corner ruled out where holding that offset would
+    saturate steering). Using any other rule makes the learned line fight
+    the tracker's corridor: measured r4, a block inside the oval's corner
+    had the learner command the +0.18 inside line (needs delta ~ 0.30 =
+    saturation) and the car decayed back through the band every pass
+    while the table looked perfect. Padding rows with s0 > s1 never match
+    (planner/opponents.py::pad_blocks semantics).
     """
+    from ..engine.assembly import block_curvatures, steerable_curvature
+
     n = ey.shape[0]
     grid_s = jnp.arange(n, dtype=jnp.float32) * table.ds
     L = table.length
     lead = jnp.maximum(jnp.asarray(llcfg.obs_lead, jnp.float32), 1e-3)
+    kap_blk = block_curvatures(track, blocks)
+    kap_cap = steerable_curvature(p, cfg.bounds.delta_max)
     for i in range(blocks.shape[0]):
         s0, s1, o_lo, o_hi = (blocks[i, j] for j in range(4))
         span = s1 - s0                       # negative for padding rows
@@ -158,14 +169,16 @@ def _memorize_obstacles(llcfg, table, ey, ey_m, cnt, blocks, ey_room):
         # term and collapses solver convergence (measured r4)
         ramp = jnp.clip(jnp.minimum(sm, span + 2.0 * lead - sm) / lead,
                         0.0, 1.0)
-        # realized side inside the block proper (no lead), visited nodes
-        sm_blk = grid_s - s0 - L * jnp.floor((grid_s - s0) / L)
-        in_blk = jnp.logical_and(span >= 0.0, sm_blk <= span)
-        w = jnp.where(jnp.logical_and(in_blk, cnt > 0.0), cnt, 0.0)
-        side_val = jnp.sum(w * ey_m)
-        free_side = jnp.where((ey_room - o_hi) >= (o_lo + ey_room), 1.0, -1.0)
-        side = jnp.where(jnp.sum(w) > 0.0,
-                         jnp.where(side_val >= 0.0, 1.0, -1.0), free_side)
+        # widest-usable-side choice, steerability-limited (the corridor's
+        # own formulas, corridor_from_blocks)
+        k = kap_blk[i]
+        ak = jnp.maximum(jnp.abs(k), 1e-6)
+        ey_in = jnp.clip((1.0 - ak / kap_cap) / ak, -ey_room, ey_room)
+        up_lim = jnp.where(k > 1e-3, jnp.minimum(ey_room, ey_in), ey_room)
+        dn_lim = jnp.where(k < -1e-3, jnp.minimum(ey_room, ey_in), ey_room)
+        up_w = up_lim - (o_hi + llcfg.obs_margin)
+        dn_w = (o_lo - llcfg.obs_margin) + dn_lim
+        side = jnp.where(up_w >= dn_w, 1.0, -1.0)
         target = jnp.where(side > 0.0, o_hi + llcfg.obs_margin,
                            o_lo - llcfg.obs_margin)
         # interpolate from the LEARNED LINE to the full-clearance
@@ -217,7 +230,7 @@ def learn_from_lap(
     )
     ey_new = jnp.clip(smooth(blend(table.ey, ey_m)), -ey_room, ey_room)
     if obstacles is not None:
-        ey_new = _memorize_obstacles(llcfg, table, ey_new, ey_m, cnt,
+        ey_new = _memorize_obstacles(p, cfg, llcfg, track, table, ey_new,
                                      obstacles, ey_room)
     de_new = jnp.clip(
         smooth(blend(table.delta, de_m)),

@@ -79,6 +79,7 @@ class RaceLog(NamedTuple):
     iters: np.ndarray       # (T,)
     replan_steps: np.ndarray   # step index of each planner/ILC table update
     tables_vx: np.ndarray      # (n_tables, n) vx profile after each update
+    tables_ey: np.ndarray      # (n_tables, n) racing line after each update
     lap_steps: np.ndarray      # (n_laps,) step at which each lap completed
 
 
@@ -271,6 +272,7 @@ def race_loop(
     segs: List = []
     replan_steps = [0]
     tables_vx = [np.asarray(table.vx)]
+    tables_ey = [np.asarray(table.ey)]
     seg_X: List = []   # rolling filtered-state window for the ILC
     seg_U: List = []
     seg_C: List = []
@@ -297,6 +299,7 @@ def race_loop(
                                    padded_obstacles(t_next))
                 replan_steps.append(t_next)
                 tables_vx.append(np.asarray(table.vx))
+                tables_ey.append(np.asarray(table.ey))
                 # only the last window is ever read again — drop older
                 # segment buffers so long runs don't pin O(T) device
                 # memory (r4 review finding)
@@ -324,6 +327,7 @@ def race_loop(
         Xg=Xg, Xf=Xf, Z=Z, U=U, mu_hat=mu_hat, converged=conv, iters=iters,
         replan_steps=np.asarray(replan_steps),
         tables_vx=np.stack(tables_vx),
+        tables_ey=np.stack(tables_ey),
         lap_steps=lap_steps,
     )
 
