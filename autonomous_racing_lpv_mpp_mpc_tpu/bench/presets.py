@@ -484,7 +484,9 @@ def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
         "mu_hat_final": round(float(log.mu_hat[-1]), 4),
         "laps": int(log.lap_steps.size),
         "lap_times_s": [round(float(s) * cfg.dt, 3) for s in lap_lengths],
-        "table_updates": int(log.replan_steps.size),
+        # replan_steps includes the initial plan at step 0; report actual
+        # UPDATES after it (advisor r4: the raw size overstates by one)
+        "table_updates": int(log.replan_steps.size) - 1,
         "ey_rms_m": round(float(np.sqrt(np.mean(log.Xf[:, 5] ** 2))), 4),
         "ey_max_m": round(float(np.abs(log.Xf[:, 5]).max()), 4),
         "converged_frac": round(float(log.converged.mean()), 3),

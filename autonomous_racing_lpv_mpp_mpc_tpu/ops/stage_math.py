@@ -309,3 +309,38 @@ def f_model_bl(model: str, pv, x, u, kap, tire: str):
     if model == "kinematic":
         return f_kinematic_bl(pv, x, u, kap)
     return f_dynamic_bl(pv, x, u, kap, tire)
+
+
+def f_global_bl(pv, xg, u, tire: str):
+    """Batch-last WORLD-frame dynamic-bicycle ODE (loop/global_loop.py::
+    f_global, SURVEY.md §2 "Nonlinear vehicle simulator": the reference
+    simulates the plant in the global frame). xg: (6, B) =
+    (vx, vy, wz, X, Y, psi), u: (NU, B). No curvature dependence — the
+    Frenet state is recovered by the in-kernel measurement stage."""
+    vx, vy, wz, psi = xg[0], xg[1], xg[2], xg[5]
+    delta, a = u[0], u[1]
+    m_, Iz, lf, lr = pv["m"], pv["Iz"], pv["lf"], pv["lr"]
+    vxs = jnp.maximum(vx, VX_EPS)
+
+    alpha_f = delta - atan2_bl(vy + lf * wz, vxs)
+    alpha_r = -atan2_bl(vy - lr * wz, vxs)
+    L = lf + lr
+    fzf = pv["mu"] * m_ * pv["g"] * lr / L
+    fzr = pv["mu"] * m_ * pv["g"] * lf / L
+    if tire == "pacejka":
+        Bf_ = pv["Cf"] / (PACEJKA_C * jnp.maximum(fzf, 1e-6))
+        Br_ = pv["Cr"] / (PACEJKA_C * jnp.maximum(fzr, 1e-6))
+        fyf = fzf * jnp.sin(PACEJKA_C * atan_bl(Bf_ * alpha_f))
+        fyr = fzr * jnp.sin(PACEJKA_C * atan_bl(Br_ * alpha_r))
+    else:
+        fyf = pv["Cf"] * alpha_f
+        fyr = pv["Cr"] * alpha_r
+
+    sd, cd_ = jnp.sin(delta), jnp.cos(delta)
+    dvx = a - (fyf * sd) / m_ + wz * vy - (pv["cd0"] + pv["cd1"] * vx) / m_
+    dvy = (fyf * cd_ + fyr) / m_ - wz * vx
+    dwz = (lf * fyf * cd_ - lr * fyr) / Iz
+    sp, cp = jnp.sin(psi), jnp.cos(psi)
+    dX = vx * cp - vy * sp
+    dY = vx * sp + vy * cp
+    return jnp.stack([dvx, dvy, dwz, dX, dY, wz])

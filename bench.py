@@ -54,16 +54,27 @@ def main():
     # per dispatch, so larger K amortizes it toward the on-device rate
     # (production runs whole laps as one jitted scan — loop/closed_loop.py)
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 500
-    # chunk-level all-lanes early exit on the mega backend (OSQP's
-    # early-termination semantics on the batched path; PERF.md r4): pass
-    # ee=0 as argv[4] to force the fixed-iteration-count protocol, and
-    # check=N as argv[5] to override the termination-check cadence
-    early_exit = (sys.argv[4] != "ee=0") if len(sys.argv) > 4 else True
+    # remaining args are key=value knobs, validated (advisor r4: a mistyped
+    # positional knob used to silently change the benchmark protocol):
+    #   ee=0|1     chunk-level all-lanes early exit on the mega backend
+    #              (OSQP's early-termination semantics, PERF.md r4)
+    #   check=N    termination-check cadence override
+    #   cache=0|1  build-stage discretization caching (PERF.md r5)
+    knobs = {}
+    for arg in sys.argv[4:]:
+        if "=" not in arg:
+            raise SystemExit(f"bench.py: expected key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        if k not in ("ee", "check", "cache"):
+            raise SystemExit(f"bench.py: unknown knob {k!r} "
+                             "(have: ee, check, cache)")
+        knobs[k] = int(v)
+    early_exit = bool(knobs.get("ee", 1))
     # default cadence: 2 with early exit (finer exit granularity, +3%
     # measured), 5 for the fixed-count control (r1-r3 protocol parity —
     # more checks only cost there)
-    check = (int(sys.argv[5].split("=")[1]) if len(sys.argv) > 5
-             else (2 if early_exit else 5))
+    check = knobs.get("check", 2 if early_exit else 5)
+    cache_build = bool(knobs.get("cache", 1))
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
