@@ -387,26 +387,68 @@ def mega_race_sweep(
     per-stage e_y bounds (the kernel's ``eyb`` operand), computed host-side
     by the same engine/assembly.py::corridor_from_blocks the XLA loop uses.
     """
-    from ..ops.megastep_kernel import megastep_params
-    from ..ops.racestep_kernel import racestep, racestep_init
+    from ..ops.racestep_kernel import racestep_init
 
     if cfg.model != "dynamic":
         raise ValueError("the composed sweep needs the dynamic model")
     f32 = jnp.float32
-    B = x0_b.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
-    if ekf_q is None:
-        ekf_q = np.asarray(DEFAULT_EKF_Q, np.float32)
     sig = (np.zeros(6, np.float32) if noise_sigma is None
            else np.asarray(noise_sigma, np.float32))
-    ekf_r = np.where(sig > 0, sig**2, 1e-4).astype(np.float32)
 
+    # the params' mu row is the CONTROLLER seed mu0 (it is the scheduling
+    # mu whenever adapt_mu=False; with adaptation on, mu-hat overrides it)
     p_nom = p.replace(mu=jnp.asarray(mu0, f32))
-    prm = megastep_params(p_nom, B)
     carry0 = racestep_init(p, cfg, track, x0_b, mu0)
+
+    run = make_racestep_scan(
+        p_nom, cfg, scfg, track, table, T,
+        jnp.asarray(mu_true_b, f32), sig,
+        use_ekf=use_ekf, adapt_mu=adapt_mu, sim_tire=sim_tire,
+        n_sub=n_sub, ekf_q=ekf_q, obstacles=obstacles, interpret=interpret,
+    )
+    _, (Xg, Xf, U, mu_hat, conv) = run(carry0, key)
+    bf = lambda a: jnp.moveaxis(a, -1, 0)      # (T, ., B) -> (B, T, .)
+    return BatchedRaceLog(Xg=bf(Xg), Xf=bf(Xf), U=bf(U),
+                          mu_hat=bf(mu_hat), converged=bf(conv))
+
+
+def make_racestep_scan(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    table: RefTable,
+    T: int,
+    mu_true_b: jnp.ndarray,
+    sigma,                          # (6,) noise sigma (zeros = clean)
+    use_ekf: bool = True,
+    adapt_mu: bool = True,
+    sim_tire: str = "pacejka",
+    n_sub: int = 10,
+    ekf_q=None,
+    obstacles=None,
+    interpret: bool = False,
+):
+    """Build the jitted T-step composed scan ``run(carry0, key)`` once.
+
+    ``mega_race_sweep`` wraps this for the one-shot contract; benchmarks
+    and lap-learning outer loops hold the returned runner so repeated
+    calls hit the compiled executable instead of re-tracing a T-step scan
+    (re-tracing measured ~7 s host time per call at T=500)."""
+    from ..ops.megastep_kernel import megastep_params
+    from ..ops.racestep_kernel import racestep
+
+    f32 = jnp.float32
+    B = mu_true_b.shape[0]
     mu_true_b = jnp.asarray(mu_true_b, f32)
-    s_idx = 4
+    sig = np.asarray(sigma, np.float32)
+    if ekf_q is None:
+        ekf_q = np.asarray(DEFAULT_EKF_Q, np.float32)
+    ekf_r = np.where(sig > 0, sig**2, 1e-4).astype(np.float32)
+    prm = megastep_params(p, B)     # mu row = controller seed mu0 (the
+    s_idx = 4                       # scheduling mu whenever adapt_mu=False)
 
     if obstacles is not None:
         from ..engine.assembly import (
@@ -418,7 +460,7 @@ def mega_race_sweep(
 
         blocks = jnp.asarray(obstacles, f32)
         kb = block_curvatures(track, blocks)
-        kc = steerable_curvature(p_nom, cfg.bounds.delta_max)
+        kc = steerable_curvature(p, cfg.bounds.delta_max)
         half = cfg.bounds.ey_max
 
         def eyb_from_sched(s_sched):            # (N+1, B) -> (N+1, 2, B)
@@ -433,17 +475,20 @@ def mega_race_sweep(
 
     @jax.jit
     def run(carry, key):
-        def step(c, k):
+        def step(c, _):
             car, kk = c
             kk, kn = jax.random.split(kk)
             noise = jnp.asarray(sig)[:, None] * jax.random.normal(
                 kn, (6, B), f32)
-            s_sched = jnp.concatenate([
-                car.ekx[s_idx][None],
-                car.X_pred[2:, s_idx],
-                car.X_pred[-1:, s_idx],
-            ], axis=0)
-            eyb = None if eyb_from_sched is None else eyb_from_sched(s_sched)
+            if eyb_from_sched is None:
+                eyb = None
+            else:
+                s_sched = jnp.concatenate([
+                    car.ekx[s_idx][None],
+                    car.X_pred[2:, s_idx],
+                    car.X_pred[-1:, s_idx],
+                ], axis=0)
+                eyb = eyb_from_sched(s_sched)
             car2, u0, diag = racestep(
                 cfg, scfg, track, prm, table, car, noise, mu_true_b,
                 ekf_q, ekf_r, n_sub=n_sub, sim_tire=sim_tire,
@@ -456,10 +501,7 @@ def mega_race_sweep(
         (carry, _), outs = jax.lax.scan(step, (carry, key), None, length=T)
         return carry, outs
 
-    _, (Xg, Xf, U, mu_hat, conv) = run(carry0, key)
-    bf = lambda a: jnp.moveaxis(a, -1, 0)      # (T, ., B) -> (B, T, .)
-    return BatchedRaceLog(Xg=bf(Xg), Xf=bf(Xf), U=bf(U),
-                          mu_hat=bf(mu_hat), converged=bf(conv))
+    return run
 
 
 def batched_race_sweep(

@@ -135,6 +135,7 @@ def _racestep_kernel(
     use_ekf: bool, adapt_mu: bool,
     forgetting: float, min_sensitivity: float, win_cells: int,
     fd_eps: float, has_eyb: bool,
+    use_table_refs: bool = False, n_ref: int = 0, ref_probe: float = 0.15,
 ):
     f32 = jnp.float32
     if has_eyb:
@@ -143,10 +144,15 @@ def _racestep_kernel(
         eyb_ref = None
     (ktab_ref, taux_ref, xtab_ref, ytab_ref, ptab_ref,
      ekq_ref, ekr_ref) = refs[:7]
-    consts = refs[7:21]
+    refs = refs[7:]
+    if use_table_refs:
+        (rvx_ref, rey_ref, rtaux_ref), refs = refs[:3], refs[3:]
+    consts = refs[:14]
     (xg_out, ekx_out, ekP_out, fr_out, xf_out,
-     Xp_out, Up_out, s_out, lam_out, u0_out, stats_out) = refs[21:32]
-    scratch = refs[32:]
+     Xp_out, Up_out, s_out, lam_out, u0_out, stats_out) = refs[14:25]
+    scratch = refs[25:]
+    if use_table_refs:
+        scratch, xref_s = scratch[:-1], scratch[-1]
 
     pv = unpack_params(prm_ref)
     rho = rho_ref[0]
@@ -318,10 +324,58 @@ def _racestep_kernel(
         mu = fr_ref[0]
         fr_out[...] = fr_ref[...]
 
+    # ---- 3b. reference sampling IN-KERNEL (planner/reftable.py::
+    # refs_from_table semantics: linear-interp lookup + racing-line heading
+    # from the +-probe e_y slope, seam-artifact guard). Host-side sampling
+    # was measured at ~24 ms/step at batch 4096 — the same catastrophic
+    # XLA-gather class as the r1 curvature windows — so the tables ride
+    # along as chunked VMEM operands exactly like the track tables.
+    if use_table_refs:
+        rtaux = rtaux_ref[...]
+        Lt = rtaux[0, 0]
+        inv_dst = rtaux[1, 0]
+        rvx_t = rvx_ref[...]
+        rey_t = rey_ref[...]
+        nct, Ct = rvx_t.shape
+        rowc_t = jax.lax.broadcasted_iota(jnp.int32, (nct, B), 0)
+        off_t = jax.lax.broadcasted_iota(jnp.int32, (Ct, B), 0)
+
+        def rfetch(tab, idx):
+            ohc = (rowc_t == (idx // Ct)[None, :]).astype(f32)
+            sel = jax.lax.dot_general(
+                tab, ohc, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            ohw = (off_t == (idx % Ct)[None, :]).astype(f32)
+            return (sel * ohw).sum(axis=0)
+
+        def rinterp(tab, s):
+            smt = s - Lt * jnp.floor(s / Lt)
+            ff = smt * inv_dst
+            i0 = jnp.clip(ff.astype(jnp.int32), 0, n_ref - 1)
+            i1 = (i0 + 1) % n_ref
+            tt = ff - i0.astype(f32)
+            return rfetch(tab, i0) * (1.0 - tt) + rfetch(tab, i1) * tt
+
+        zB = jnp.zeros((B,), f32)
+        for k in range(N + 1):
+            # the SHIFTED schedule's s (megastep_refs row semantics):
+            # row 0 = the filtered state, rows 1..N = X_pred[min(k+1, N)]
+            s_k = xf[4] if k == 0 else Xp_ref[min(k + 1, N)][4]
+            vxk = rinterp(rvx_t, s_k)
+            eyk = rinterp(rey_t, s_k)
+            eyp = rinterp(rey_t, s_k + ref_probe)
+            eym = rinterp(rey_t, s_k - ref_probe)
+            ep = atan2_bl(eyp - eym, jnp.full((B,), 2.0 * ref_probe, f32))
+            ep = jnp.where(jnp.abs(ep) > 0.3, 0.0, ep)
+            xref_s[k] = jnp.stack([vxk, zB, zB, ep, zB, eyk])
+        xref_in = xref_s
+    else:
+        xref_in = xref_ref
+
     # ---- 4. tracker: the shared megastep MPC core at mu-hat ------------
     u0 = _mpc_core(
         xf, pv_hat, kap_at,
-        Xp_ref, Up_ref, sw_ref, lamw_ref, uprev_ref, rho, xref_ref,
+        Xp_ref, Up_ref, sw_ref, lamw_ref, uprev_ref, rho, xref_in,
         *consts,
         Xp_out, Up_out, s_out, lam_out, u0_out, stats_out,
         *scratch,
@@ -346,6 +400,22 @@ def _racestep_kernel(
 
     xg_out[...] = jax.lax.fori_loop(0, n_sub, sub, xg)
     xf_out[...] = xf
+
+
+def _ref_table_inputs(table):
+    """RefTable vx/ey node arrays as chunked kernel operands + aux
+    [length, 1/ds] (the delta_ff channel is not part of the tracking
+    reference — refs_from_table consumes only vx/ey/slope)."""
+    C = 128
+    n = table.vx.shape[0]
+    n_pad = -(-n // C) * C
+
+    def chunked(a):
+        a = jnp.concatenate([a, jnp.zeros((n_pad - n,), jnp.float32)])
+        return a.reshape(n_pad // C, C)
+
+    rtaux = jnp.stack([table.length, 1.0 / table.ds])[:, None]
+    return chunked(table.vx), chunked(table.ey), rtaux, n
 
 
 def _pose_table_inputs(track: Track):
@@ -437,19 +507,30 @@ def racestep(
             leaf = jnp.concatenate([leaf, reps], axis=-1)
         return leaf
 
+    from ..planner.reftable import RefTable
     from .megastep_kernel import megastep_refs
 
-    # megastep_refs reads carry.x for ref row 0; the composed carry's best
-    # pre-step estimate is the EKF mean. Row 0 of the reference is
-    # solution-irrelevant anyway (stage-0 state rows are disabled and the
-    # backward sweep never consumes q0[0] for u0), so this matches the XLA
-    # race loop at solution level.
-    class _RefView(NamedTuple):
-        x: jnp.ndarray
-        X_pred: jnp.ndarray
+    use_table_refs = isinstance(x_ref, RefTable)
+    if use_table_refs:
+        # the table is sampled IN-KERNEL (host-side refs_from_table was
+        # measured at ~24 ms/step — XLA TPU gathers); the xref operand
+        # degenerates to a dummy row to keep the operand layout static
+        rvx, rey, rtaux, n_ref = _ref_table_inputs(x_ref)
+        ref_tabs = (rvx, rey, rtaux)
+        xref_bl = jnp.zeros((1, B), f32)
+    else:
+        # megastep_refs reads carry.x for ref row 0; the composed carry's
+        # best pre-step estimate is the EKF mean. Row 0 of the reference is
+        # solution-irrelevant anyway (stage-0 state rows are disabled and
+        # the backward sweep never consumes q0[0] for u0).
+        class _RefView(NamedTuple):
+            x: jnp.ndarray
+            X_pred: jnp.ndarray
 
-    xref_bl = megastep_refs(cfg, x_ref,
-                            _RefView(x=carry.ekx, X_pred=carry.X_pred))
+        ref_tabs = ()
+        n_ref = 0
+        xref_bl = megastep_refs(cfg, x_ref,
+                                _RefView(x=carry.ekx, X_pred=carry.X_pred))
     ktab, taux, n_cells = _table_inputs(track)
     xtab, ytab, ptab = _pose_table_inputs(track)
     win_cells = max(2, int(window_m / float(track.ds)))
@@ -466,7 +547,7 @@ def racestep(
         ktab, taux, xtab, ytab, ptab,
         jnp.asarray(ekf_q, f32).reshape(6, 1),
         jnp.asarray(ekf_r, f32).reshape(6, 1),
-    ) + _make_consts(cfg, scfg)
+    ) + ref_tabs + _make_consts(cfg, scfg)
     ins = batched + consts_in
 
     b = cfg.bounds
@@ -492,6 +573,7 @@ def racestep(
         forgetting=float(forgetting),
         min_sensitivity=float(min_sensitivity),
         win_cells=win_cells, fd_eps=3e-3, has_eyb=has_eyb,
+        use_table_refs=use_table_refs, n_ref=n_ref,
     )
 
     NA = NX + NU
@@ -545,6 +627,8 @@ def racestep(
         pltpu.VMEM((N + 1, NA, PB), f32),    # Xsol
         pltpu.VMEM((N, NU, PB), f32),        # Usol
     ]
+    if use_table_refs:
+        scratch.append(pltpu.VMEM((N + 1, NX, PB), f32))   # in-kernel xref
 
     outs = pl.pallas_call(
         kernel,
