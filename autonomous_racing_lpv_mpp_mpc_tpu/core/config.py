@@ -166,6 +166,24 @@ class SolverConfig:
     # backends at the eps_abs/eps_rel tolerance level (exact-parity tests
     # keep it off; production/bench turn it on).
     early_exit: bool = struct.field(pytree_node=False, default=False)
+    # mega-backend discretization caching (ops/megastep_kernel.py): reuse
+    # the LPV + Van Loan stage matrices across steps by SHIFTING the cached
+    # stage chain one step (the receding-horizon schedule shifts the same
+    # way) and rebuilding only the newly-revealed terminal stage — a full
+    # rebuild fires whenever the new schedule drifts more than
+    # `cache_drift_tol` from the schedule each cached stage was built at
+    # (max over stages/lanes of |Delta x_sched|, |Delta u_sched|,
+    # |Delta kappa|), or every `cache_max_age` steps. OFF by default: the
+    # reused matrices are a one-step-staler LPV linearization, a semantic
+    # change at the LPV-approximation level (exact-parity tests keep it
+    # off; the oracle-ladder test pins the rung with it on).
+    cache_build: bool = struct.field(pytree_node=False, default=False)
+    # drift tolerance is NORMALIZED per channel (fraction of each
+    # channel's dynamic range); 0.3 is the measured operating point
+    # (~65% reuse, per-step |du| p95 ~6e-3 — outside the 5e-4 rung,
+    # which is why the knob defaults off; PERF.md r5)
+    cache_drift_tol: float = struct.field(pytree_node=False, default=0.3)
+    cache_max_age: int = struct.field(pytree_node=False, default=8)
     # batched-solve backend: "xla" (vmapped scans), "pallas" (solver-only
     # VMEM kernel), "fused" (assembly+solver kernel, ops/fused_kernel.py),
     # or "mega" (the whole receding-horizon step incl. plant in one kernel,

@@ -398,6 +398,7 @@ def mega_lap_rollout(
     sim_tire: Optional[str] = None,
     n_sub: int = 10,
     interpret: bool = False,
+    obstacles=None,
 ):
     """Whole-lap rollout on the megastep kernel with PER-LANE ref tables.
 
@@ -406,10 +407,38 @@ def mega_lap_rollout(
     consumes it exactly like the XLA rollout — the flagship kernel carrying
     the flagship capability (VERDICT r3 next #4): a 4096-lane learning
     sweep rolls laps at the megastep rate instead of the XLA path's.
+
+    ``obstacles`` ((n_obs, 4) static corridor blocks) thread the tracker's
+    per-stage e_y corridor onto the fast path via the kernel's ``eyb``
+    operand (VERDICT r4 missing #2) — same corridor_from_blocks bounds the
+    XLA rollout applies via engine/assembly.py::tracker_bounds.
     """
     from ..ops.megastep_kernel import megastep, megastep_init, megastep_params
 
     s_idx = 4 if cfg.model == "dynamic" else 2
+    if obstacles is not None:
+        from ..engine.assembly import (
+            block_curvatures,
+            corridor_from_blocks,
+            steerable_curvature,
+        )
+        from ..track.track import wrap_s
+
+        blocks = jnp.asarray(obstacles, jnp.float32)
+        p_one = jax.tree.map(lambda l: jnp.reshape(l, (-1,))[0], p_b)
+        kb = block_curvatures(track, blocks)
+        kc = steerable_curvature(p_one, cfg.bounds.delta_max)
+        half = cfg.bounds.ey_max
+
+        def eyb_from_sched(s_sched):
+            sm = wrap_s(track, s_sched)
+            lo = jnp.full(sm.shape, -half, jnp.float32)
+            hi = jnp.full(sm.shape, half, jnp.float32)
+            lo, hi = corridor_from_blocks(sm, lo, hi, blocks, 0.0, half,
+                                          kappa_blk=kb, kappa_cap=kc)
+            return jnp.stack([lo, hi], axis=1)
+    else:
+        eyb_from_sched = None
 
     @jax.jit
     def run(x0_b, table_b: RefTable):
@@ -424,9 +453,11 @@ def mega_lap_rollout(
                 car.X_pred[-1:, s_idx],
             ], axis=0)                                   # (N+1, B)
             xref_bl = batched_refs_from_tables(cfg, table_b, s_sched)
+            eyb = (None if eyb_from_sched is None
+                   else eyb_from_sched(s_sched))
             car2, u0, diag = megastep(
                 cfg, scfg, track, prm, xref_bl, car, n_sub=n_sub,
-                sim_tire=sim_tire, interpret=interpret,
+                sim_tire=sim_tire, interpret=interpret, eyb=eyb,
             )
             return car2, (car2.x, u0, diag[2])
 
@@ -476,13 +507,13 @@ def batched_lap_learning(
 
     if backend == "mega":
         # flagship-kernel rollout (VERDICT r3 next #4): one Pallas launch
-        # per step for the whole batch, per-lane tables sampled in XLA.
-        # The megastep path does not take per-stage corridor blocks, so
-        # obstacle sweeps stay on the XLA rollout.
-        assert obstacles is None, "mega backend: obstacles not supported"
+        # per step for the whole batch, per-lane tables sampled in XLA;
+        # obstacle corridors reach the kernel as per-stage eyb operands
+        # since r5 (VERDICT r4 missing #2).
         mega_run = mega_lap_rollout(p_b, cfg, scfg, track, T_lap,
                                     sim_tire=sim_tire,
-                                    interpret=mega_interpret)
+                                    interpret=mega_interpret,
+                                    obstacles=obstacles)
 
         class _MegaLog(NamedTuple):
             X: jnp.ndarray

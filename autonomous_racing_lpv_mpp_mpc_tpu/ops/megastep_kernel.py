@@ -143,6 +143,10 @@ def _mpc_core(
     squarings: int, order: int, unroll_sweeps: bool,
     unroll_iters: bool, model: str,
     eyb_ref=None,     # optional (N+1, 2, B) per-stage e_y corridor (lo, hi)
+    cache_in=None,    # optional 6-tuple: discretization-cache refs in
+    cache_out=None,   # matching 6-tuple of cache output refs
+    cache_drift_tol: float = 0.02,
+    cache_max_age: int = 8,
 ):
     """The in-kernel receding-horizon MPC step (megastep sections 1-8):
     schedule shift -> bounds -> LPV+Van Loan build -> Riccati factor ->
@@ -219,7 +223,7 @@ def _mpc_core(
         ub_s[N, r] = inf_row
 
     # ---- 3. stage matrices + linear cost (vx-ref clamped to the cap) ----
-    def build_stage(k, _):
+    def build_ab(k):
         Aa, Ba = stage_aug_ab(
             Xs_s[k], Us_s[k], kap_s[k], pv,
             I8v, I2_ref[...], Sel_ref[...],
@@ -227,6 +231,8 @@ def _mpc_core(
         )
         A_s[k] = Aa
         B_s[k] = Ba
+
+    def build_q0(k, _):
         xr = xref_ref[k]
         xr = jnp.concatenate(
             [jnp.minimum(xr[0], ub_s[k, 0])[None], xr[1:]], axis=0
@@ -236,11 +242,85 @@ def _mpc_core(
         )
         return 0
 
-    if unroll_sweeps:
-        for k in range(N):
-            build_stage(k, 0)
+    def build_stage(k, _):
+        build_ab(k)
+        build_q0(k, 0)
+        return 0
+
+    if cache_in is None:
+        if unroll_sweeps:
+            for k in range(N):
+                build_stage(k, 0)
+        else:
+            jax.lax.fori_loop(0, N, build_stage, 0)
     else:
-        jax.lax.fori_loop(0, N, build_stage, 0)
+        # ---- discretization caching (SolverConfig.cache_build): the
+        # receding-horizon schedule shifts one stage per step, so the
+        # cached stage matrices shift with it — A_new[k] := A_cache[k+1]
+        # for k < N-1 and only the newly-revealed terminal stage is built
+        # (1/N of the LPV+Van Loan cost, the measured 65%-fixed-part
+        # lever, PERF.md r4 cost decomposition). The cache signature
+        # (Xs/Us/kappa each stage was BUILT at) shifts along, so drift
+        # accumulates against the ORIGINAL build point and a full rebuild
+        # fires on `drift > tol` or `age >= max_age`. The whole 128-lane
+        # block takes one branch (scalar pl.when around once-per-step
+        # regions — NOT the hot iteration body, which the r2 lesson keeps
+        # straight-line).
+        Ac_ref, Bc_ref, Xsc_ref, Usc_ref, kapc_ref, age_ref = cache_in
+        Ac_out, Bc_out, Xsc_out, Usc_out, kapc_out, age_out = cache_out
+        # drift is normalized per channel by its dynamic range so one
+        # fast-moving channel (wz swings ~0.25 rad/s per refinement in
+        # steady-state cornering — measured) does not force a rebuild
+        # every step; the s channel is EXCLUDED because the LPV entries
+        # depend on s only through kappa, which has its own term (a cell
+        # flip at a segment boundary reads as a large kappa drift and
+        # correctly forces a rebuild).
+        if model == "kinematic":
+            x_scl = (1.0, 0.5, None, 0.5)             # vx, epsi, s, ey
+        else:
+            x_scl = (1.0, 0.5, 2.0, 0.5, None, 0.5)
+        u_scl = (0.3, 2.0)                            # delta, a
+        drift = jnp.float32(0.0)
+        for k in range(N - 1):
+            for c, sc in enumerate(x_scl):
+                if sc is None:
+                    continue
+                drift = jnp.maximum(drift, jnp.max(
+                    jnp.abs(Xs_s[k, c] - Xsc_ref[k + 1, c])) / sc)
+            for c, sc in enumerate(u_scl):
+                drift = jnp.maximum(drift, jnp.max(
+                    jnp.abs(Us_s[k, c] - Usc_ref[k + 1, c])) / sc)
+            drift = jnp.maximum(drift, jnp.max(
+                jnp.abs(kap_s[k] - kapc_ref[k + 1])) / 0.5)
+        age = age_ref[0]
+        rebuild = jnp.logical_or(drift > cache_drift_tol,
+                                 jnp.max(age) >= float(cache_max_age))
+
+        @pl.when(rebuild)
+        def _full_build():
+            for k in range(N):
+                build_ab(k)
+                Xsc_out[k] = Xs_s[k]
+                Usc_out[k] = Us_s[k]
+                kapc_out[k] = kap_s[k]
+
+        @pl.when(jnp.logical_not(rebuild))
+        def _shift_reuse():
+            for k in range(N - 1):
+                A_s[k] = Ac_ref[k + 1]
+                B_s[k] = Bc_ref[k + 1]
+                Xsc_out[k] = Xsc_ref[k + 1]
+                Usc_out[k] = Usc_ref[k + 1]
+                kapc_out[k] = kapc_ref[k + 1]
+            build_ab(N - 1)
+            Xsc_out[N - 1] = Xs_s[N - 1]
+            Usc_out[N - 1] = Us_s[N - 1]
+            kapc_out[N - 1] = kap_s[N - 1]
+
+        age_out[...] = jnp.where(rebuild, 0.0, age + 1.0)[None]
+        Ac_out[...] = A_s[...]
+        Bc_out[...] = B_s[...]
+        jax.lax.fori_loop(0, N, build_q0, 0)
     xrN = xref_ref[N]
     xrN = jnp.concatenate(
         [jnp.minimum(xrN[0], ub_s[N, 0])[None], xrN[1:]], axis=0
@@ -525,16 +605,25 @@ def _megastep_kernel(
     kappa_speed_cap: bool, a_lat_frac: float,
     squarings: int = 4, order: int = 6, unroll_sweeps: bool = False,
     unroll_iters: bool = False, model: str = "dynamic",
-    has_eyb: bool = False,
+    has_eyb: bool = False, cache_build: bool = False,
+    cache_drift_tol: float = 0.02, cache_max_age: int = 8,
 ):
     s_idx, _ey_idx = model_s_ey(model)
     if has_eyb:
         eyb_ref, refs = refs[0], refs[1:]
     else:
         eyb_ref = None
+    if cache_build:
+        cache_in, refs = refs[:6], refs[6:]
+    else:
+        cache_in = None
     consts = refs[:14]
     (xn_out, Xp_out, Up_out, s_out, lam_out, u0_out, stats_out) = refs[14:21]
-    scratch = refs[21:]
+    refs = refs[21:]
+    if cache_build:
+        cache_out, scratch = refs[:6], refs[6:]
+    else:
+        cache_out, scratch = None, refs
 
     pv = unpack_params(prm_ref)
     rho = rho_ref[0]
@@ -556,6 +645,8 @@ def _megastep_kernel(
         kappa_speed_cap=kappa_speed_cap, a_lat_frac=a_lat_frac,
         squarings=squarings, order=order, unroll_sweeps=unroll_sweeps,
         unroll_iters=unroll_iters, model=model, eyb_ref=eyb_ref,
+        cache_in=cache_in, cache_out=cache_out,
+        cache_drift_tol=cache_drift_tol, cache_max_age=cache_max_age,
     )
 
     # ---- 9. plant: fine Euler sub-steps (loop/closed_loop.py::plant_step) --
@@ -566,6 +657,34 @@ def _megastep_kernel(
                                    sim_tire)
 
     xn_out[...] = jax.lax.fori_loop(0, n_sub, sub, x_now)
+
+
+class MegaCache(NamedTuple):
+    """Discretization cache (SolverConfig.cache_build): the stage matrices
+    + the schedule signature each stage was built at + the block age."""
+
+    A: jnp.ndarray      # (N, NA, NA, B)
+    B: jnp.ndarray      # (N, NA, NU, B)
+    Xs: jnp.ndarray     # (N, NX, B) build-time scheduling states
+    Us: jnp.ndarray     # (N, NU, B)
+    kap: jnp.ndarray    # (N, B)
+    age: jnp.ndarray    # (1, B) steps since last full rebuild
+
+
+def megacache_init(cfg: MPCConfig, scfg: SolverConfig, B: int) -> MegaCache:
+    """Empty cache; the zero signature + saturated age force a full build
+    on the first step."""
+    f32 = jnp.float32
+    NXm, NAm = model_dims(cfg.model)
+    N = cfg.N
+    return MegaCache(
+        A=jnp.zeros((N, NAm, NAm, B), f32),
+        B=jnp.zeros((N, NAm, NU, B), f32),
+        Xs=jnp.zeros((N, NXm, B), f32),
+        Us=jnp.zeros((N, NU, B), f32),
+        kap=jnp.zeros((N, B), f32),
+        age=jnp.full((1, B), float(scfg.cache_max_age), f32),
+    )
 
 
 def _table_inputs(track: Track):
@@ -647,8 +766,12 @@ def megastep(
     squarings: int = 4,
     order: int = 6,
     eyb=None,                  # optional (N+1, 2, B) e_y corridor (lo, hi)
+    cache: MegaCache | None = None,   # scfg.cache_build discretization cache
 ):
     """One full closed-loop step for every scenario, in one kernel launch.
+
+    With ``scfg.cache_build`` pass (and thread) a :class:`MegaCache`; the
+    call then returns ``(new_carry, u0, diag, new_cache)``.
 
     ``block`` is the scenarios-per-program lane count (multiple of 128);
     measured neutral between 128 and 256 (the cost is the serial stage
@@ -684,10 +807,17 @@ def megastep(
 
     has_eyb = eyb is not None
     eyb_ins = (padl(jnp.asarray(eyb, f32)),) if has_eyb else ()
+    cache_build = bool(scfg.cache_build)
+    if cache_build:
+        assert cache is not None, "scfg.cache_build needs a MegaCache " \
+            "(megacache_init) threaded through the step"
+        cache_ins = tuple(padl(a) for a in cache)
+    else:
+        cache_ins = ()
     ins = tuple(padl(a) for a in (
         carry.x, carry.X_pred, carry.U_pred, carry.s, carry.lam,
         carry.u_prev, carry.rho[None, :], xref_bl, prm,
-    )) + (ktab, taux) + eyb_ins + _make_consts(cfg, scfg)
+    )) + (ktab, taux) + eyb_ins + cache_ins + _make_consts(cfg, scfg)
 
     b = cfg.bounds
     kernel = functools.partial(
@@ -712,6 +842,9 @@ def megastep(
         squarings=squarings,
         order=order,
         has_eyb=has_eyb,
+        cache_build=cache_build,
+        cache_drift_tol=float(scfg.cache_drift_tol),
+        cache_max_age=int(scfg.cache_max_age),
     )
 
     out_shapes = (
@@ -723,6 +856,10 @@ def megastep(
         jax.ShapeDtypeStruct((NU, Bp), f32),            # u0
         jax.ShapeDtypeStruct((8, Bp), f32),             # stats
     )
+    if cache_build:
+        out_shapes = out_shapes + tuple(
+            jax.ShapeDtypeStruct(a.shape, f32) for a in cache_ins
+        )
 
     def bspec(shape):
         nd = len(shape)
@@ -738,11 +875,12 @@ def megastep(
         )
 
     n_batched = 9  # x, X_pred, U_pred, s, lam, u_prev, rho, xref, prm
+    n_pre_consts = n_batched + 2 + len(eyb_ins) + len(cache_ins)
     in_specs = (
         [bspec(a.shape) for a in ins[:n_batched]]
         + [cspec(ktab.shape), cspec(taux.shape)]
-        + ([bspec(eyb_ins[0].shape)] if has_eyb else [])
-        + [cspec(a.shape) for a in ins[n_batched + 2 + len(eyb_ins):]]
+        + [bspec(a.shape) for a in eyb_ins + cache_ins]
+        + [cspec(a.shape) for a in ins[n_pre_consts:]]
     )
     out_specs = tuple(bspec(s.shape) for s in out_shapes)
     scratch = [
@@ -765,7 +903,7 @@ def megastep(
         pltpu.VMEM((N, NU, PB), f32),        # Usol
     ]
 
-    xn, Xp, Up, s, lam, u0, stats = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(Bp // PB,),
         out_shape=out_shapes,
@@ -774,6 +912,7 @@ def megastep(
         scratch_shapes=scratch,
         interpret=interpret,
     )(*ins)
+    xn, Xp, Up, s, lam, u0, stats = outs[:7]
 
     trim = lambda a: a[..., :B]
     new_carry = MegaCarry(
@@ -781,4 +920,7 @@ def megastep(
         lam=trim(lam), u_prev=trim(u0), rho=trim(stats)[3],
     )
     # diag rows: r_prim, r_dual, converged, rho_next, iters (done-at)
+    if cache_build:
+        new_cache = MegaCache(*(trim(a) for a in outs[7:13]))
+        return new_carry, trim(u0), trim(stats)[:5], new_cache
     return new_carry, trim(u0), trim(stats)[:5]

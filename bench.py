@@ -74,7 +74,9 @@ def main():
     # measured), 5 for the fixed-count control (r1-r3 protocol parity —
     # more checks only cost there)
     check = knobs.get("check", 2 if early_exit else 5)
-    cache_build = bool(knobs.get("cache", 1))
+    # discretization caching (shift-reuse of the LPV+Van Loan build with a
+    # drift trigger, PERF.md r5) — mega backend only
+    cache_build = bool(knobs.get("cache", 0))
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
@@ -97,6 +99,30 @@ def main():
             )
 
             prm = megastep_params(scen.params, B)
+
+            if scfg.cache_build:
+                @jax.jit
+                def k_steps(xs, carries):
+                    del xs
+                    car0, cache0 = carries
+
+                    def body(c, _):
+                        car_i, cache_i = c
+                        car2, _u0, diag, cache2 = megastep(
+                            cfg, scfg, track, prm, x_ref, car_i, n_sub=4,
+                            cache=cache_i,
+                        )
+                        # cache.age row 0: >0 means the build was reused
+                        return (car2, cache2), (
+                            jnp.mean(diag[2]), jnp.mean(diag[4]),
+                            jnp.mean((cache2.age[0] > 0).astype(jnp.float32)),
+                        )
+
+                    carries, (convs, iters, reuse) = jax.lax.scan(
+                        body, (car0, cache0), None, length=K)
+                    return carries[0].x, carries, (convs, iters, reuse)
+
+                return k_steps
 
             @jax.jit
             def k_steps(xs, carries):
@@ -139,10 +165,14 @@ def main():
     def make_carries(scfg):
         if scfg.backend == "mega":
             from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+                megacache_init,
                 megastep_init,
             )
 
-            return megastep_init(scen.params, cfg, track, scen.x0)
+            car = megastep_init(scen.params, cfg, track, scen.x0)
+            if scfg.cache_build:
+                return car, megacache_init(cfg, scfg, B)
+            return car
         return jax.vmap(lambda x0, pp: mpc_init(pp, cfg, track, x0))(
             scen.x0, scen.params
         )
@@ -156,9 +186,11 @@ def main():
     # "pallas": solver-only kernel; "xla": scans.
     scfg = SolverConfig(max_iter=20, rho_interval=0, backend=backend,
                         early_exit=(early_exit and backend == "mega"),
-                        check_termination=check)
+                        check_termination=check,
+                        cache_build=(cache_build and backend == "mega"))
     log(f"device={jax.devices()[0]} batch={B} N={cfg.N} iters={scfg.max_iter} "
-        f"backend={backend} early_exit={scfg.early_exit} check={check}")
+        f"backend={backend} early_exit={scfg.early_exit} check={check} "
+        f"cache_build={scfg.cache_build}")
 
     # warmup: compile + reach warm-started steady state; fall back down the
     # backend ladder if a kernel fails to compile on this stack
@@ -168,7 +200,8 @@ def main():
         k_steps = make_k_steps(scfg)
         carries = make_carries(scfg)
         try:
-            xs, carries, (convs, iters) = k_steps(xs, carries)
+            xs, carries, stats = k_steps(xs, carries)
+            convs, iters = stats[0], stats[1]
             jax.block_until_ready(xs)
             break
         except Exception as e:
@@ -180,7 +213,9 @@ def main():
             scfg = scfg.replace(backend=nxt)
     log(f"compile+first {K} steps: {time.perf_counter()-t0:.1f}s "
         f"converged={float(convs.mean()):.3f} "
-        f"mean_done_at={float(iters.mean()):.1f}/{scfg.max_iter}")
+        f"mean_done_at={float(iters.mean()):.1f}/{scfg.max_iter}"
+        + (f" build_reuse={float(stats[2].mean()):.2f}"
+           if len(stats) > 2 else ""))
 
     # timed runs: best-of-7 — each dispatch rides the tunnel, whose RTT
     # noise spans ~±8%; more trials tighten the max-performance estimate
@@ -188,7 +223,8 @@ def main():
     best = float("inf")
     for _ in range(7):
         t0 = time.perf_counter()
-        xs, carries, (convs, iters) = k_steps(xs, carries)
+        xs, carries, stats = k_steps(xs, carries)
+        convs, iters = stats[0], stats[1]
         jax.block_until_ready(xs)
         best = min(best, time.perf_counter() - t0)
     solves_s = B * K / best

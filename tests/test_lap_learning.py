@@ -313,3 +313,62 @@ def test_mega_rollout_matches_xla_rollout():
     np.testing.assert_allclose(np.asarray(X_m), np.asarray(X_r),
                                atol=1e-3, rtol=0)
     assert np.asarray(conv_m).mean() > 0.9
+
+
+def test_mega_rollout_obstacle_corridor_matches_xla():
+    """Obstacles on the FAST lap-learning path (VERDICT r4 missing #2):
+    the megastep rollout with corridor blocks (eyb operand) must equal the
+    vmapped XLA rollout with the same obstacles, per-lane tables and all
+    (interpret mode on CPU)."""
+    import dataclasses
+
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.closed_loop import closed_loop
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.lap_learning import (
+        mega_lap_rollout,
+    )
+
+    cfg = MPCConfig(N=8, model="dynamic")
+    track = oval_track(ds=0.05)
+    scfg = SolverConfig(max_iter=15, rho_interval=0)
+    blocks = jnp.array([[1.0, 2.0, -0.12, 0.12]], jnp.float32)
+    B = 2
+    p_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32), (B,)),
+        VehicleParams(),
+    )
+    p_b = dataclasses.replace(p_b, mu=jnp.asarray([0.9, 1.1], jnp.float32))
+    x0_b = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(1.0)
+    one = initial_table(track, ds=0.05, vx0=1.0)
+    table_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+    # make the per-lane tables actually differ (sampling plumbing matters)
+    table_b = table_b.replace(
+        vx=table_b.vx * jnp.array([1.0, 1.1], jnp.float32)[:, None])
+
+    T = 40
+    run = mega_lap_rollout(p_b, cfg, scfg, track, T, interpret=True,
+                           obstacles=blocks)
+    Xm, Um, convm = run(x0_b, table_b)
+
+    Xr, Ur = [], []
+    for i in range(B):
+        p_i = jax.tree.map(lambda a: a[i], p_b)
+        tbl_i = jax.tree.map(lambda a: a[i], table_b)
+        log = closed_loop(p_i, cfg, scfg, track, x0_b[i], tbl_i, T=T,
+                          n_sub=10, obstacles=blocks)
+        Xr.append(np.asarray(log.X))
+        Ur.append(np.asarray(log.U))
+    np.testing.assert_allclose(np.asarray(Xm), np.stack(Xr), atol=2e-4,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(Um), np.stack(Ur), atol=2e-4,
+                               rtol=0)
+    # the corridor operand actually reached the kernel: with the block the
+    # rollout must DIFFER from the unobstructed rollout once the block
+    # enters the preview. (At N=8 the ~0.26 m preview cannot complete a
+    # 0.12 m lane change — BOTH backends identically grind the soft-
+    # corridor QP and fall back to braking, which is the pinned parity
+    # above; reactive avoidance belongs to the planner/learner layers,
+    # tested in test_obstacle_memorizing_lap_learner and test_race.py.)
+    run_free = mega_lap_rollout(p_b, cfg, scfg, track, T, interpret=True)
+    Xf_, _, _ = run_free(x0_b, table_b)
+    assert np.abs(np.asarray(Xm) - np.asarray(Xf_)).max() > 1e-3
