@@ -136,6 +136,7 @@ def _racestep_kernel(
     forgetting: float, min_sensitivity: float, win_cells: int,
     fd_eps: float, has_eyb: bool,
     use_table_refs: bool = False, n_ref: int = 0, ref_probe: float = 0.15,
+    per_lane_refs: bool = False,
 ):
     f32 = jnp.float32
     if has_eyb:
@@ -336,17 +337,29 @@ def _racestep_kernel(
         inv_dst = rtaux[1, 0]
         rvx_t = rvx_ref[...]
         rey_t = rey_ref[...]
-        nct, Ct = rvx_t.shape
-        rowc_t = jax.lax.broadcasted_iota(jnp.int32, (nct, B), 0)
-        off_t = jax.lax.broadcasted_iota(jnp.int32, (Ct, B), 0)
+        if per_lane_refs:
+            # PER-LANE tables (the batched learning sweep): (n_pad, B)
+            # operands, one table column per lane — the fetch is a plain
+            # one-hot multiply-reduce over the row axis (O(n) VPU per
+            # lookup; no chunk trick, each lane reads a different table)
+            nt_pad = rvx_t.shape[0]
+            rows_t = jax.lax.broadcasted_iota(jnp.int32, (nt_pad, B), 0)
 
-        def rfetch(tab, idx):
-            ohc = (rowc_t == (idx // Ct)[None, :]).astype(f32)
-            sel = jax.lax.dot_general(
-                tab, ohc, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            ohw = (off_t == (idx % Ct)[None, :]).astype(f32)
-            return (sel * ohw).sum(axis=0)
+            def rfetch(tab, idx):
+                oh = (rows_t == idx[None, :]).astype(f32)
+                return (tab * oh).sum(axis=0)
+        else:
+            nct, Ct = rvx_t.shape
+            rowc_t = jax.lax.broadcasted_iota(jnp.int32, (nct, B), 0)
+            off_t = jax.lax.broadcasted_iota(jnp.int32, (Ct, B), 0)
+
+            def rfetch(tab, idx):
+                ohc = (rowc_t == (idx // Ct)[None, :]).astype(f32)
+                sel = jax.lax.dot_general(
+                    tab, ohc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                ohw = (off_t == (idx % Ct)[None, :]).astype(f32)
+                return (sel * ohw).sum(axis=0)
 
         def rinterp(tab, s):
             smt = s - Lt * jnp.floor(s / Lt)
@@ -511,7 +524,27 @@ def racestep(
     from .megastep_kernel import megastep_refs
 
     use_table_refs = isinstance(x_ref, RefTable)
-    if use_table_refs:
+    per_lane_refs = use_table_refs and jnp.ndim(x_ref.vx) == 2
+    if per_lane_refs:
+        # PER-LANE tables (leaves (B, n)): ride along as (n_pad, B)
+        # BATCHED operands, fetched by plain one-hot in-kernel
+        n_ref = x_ref.vx.shape[1]
+        n_pad_t = -(-n_ref // 8) * 8
+
+        def col(a):                    # (B, n) -> (n_pad, B)
+            a = jnp.moveaxis(jnp.asarray(a, f32), 0, -1)
+            return jnp.concatenate(
+                [a, jnp.zeros((n_pad_t - n_ref, a.shape[1]), f32)], axis=0)
+
+        # all lanes share the grid (same ds/length — one track), so the
+        # aux stays a constant even when the value leaves are batched
+        len0 = jnp.reshape(jnp.asarray(x_ref.length, f32), (-1,))[0]
+        ds0 = jnp.reshape(jnp.asarray(x_ref.ds, f32), (-1,))[0]
+        rvx, rey = padl(col(x_ref.vx)), padl(col(x_ref.ey))
+        rtaux = jnp.stack([len0, 1.0 / ds0])[:, None]
+        ref_tabs = (rvx, rey, rtaux)
+        xref_bl = jnp.zeros((1, B), f32)
+    elif use_table_refs:
         # the table is sampled IN-KERNEL (host-side refs_from_table was
         # measured at ~24 ms/step — XLA TPU gathers); the xref operand
         # degenerates to a dummy row to keep the operand layout static
@@ -574,6 +607,7 @@ def racestep(
         min_sensitivity=float(min_sensitivity),
         win_cells=win_cells, fd_eps=3e-3, has_eyb=has_eyb,
         use_table_refs=use_table_refs, n_ref=n_ref,
+        per_lane_refs=per_lane_refs,
     )
 
     NA = NX + NU
@@ -607,6 +641,11 @@ def racestep(
     in_specs = [bspec(a.shape) for a in batched] + [
         cspec(a.shape) for a in consts_in
     ]
+    if per_lane_refs:
+        # rvx/rey sit at consts_in[7:9] but are per-lane BATCHED operands
+        off = len(batched) + 7
+        in_specs[off] = bspec(rvx.shape)
+        in_specs[off + 1] = bspec(rey.shape)
     out_specs = tuple(bspec(s.shape) for s in out_shapes)
     scratch = [
         pltpu.VMEM((N + 1, NX, PB), f32),    # Xs
