@@ -77,6 +77,9 @@ class RaceLog(NamedTuple):
     mu_hat: np.ndarray      # (T,)
     converged: np.ndarray   # (T,)
     iters: np.ndarray       # (T,)
+    r_prim: np.ndarray      # (T,) solver primal residual (the accepted-
+                            # step bound: non-terminated steps are applied
+                            # only below scfg.eps_fallback)
     replan_steps: np.ndarray   # step index of each planner/ILC table update
     tables_vx: np.ndarray      # (n_tables, n) vx profile after each update
     tables_ey: np.ndarray      # (n_tables, n) racing line after each update
@@ -150,7 +153,8 @@ def _make_segment(
                                     sim_tire=sim_tire)
             c2 = RaceCarry(xg=xg2, mpc=mpc2, ekf=ekf2, fric=fric2,
                            x_prev_f=xf, u_prev=u, key=key)
-            out = (xg2, xf, z, u, fric2.mu, diag.converged, diag.iters)
+            out = (xg2, xf, z, u, fric2.mu, diag.converged, diag.iters,
+                   diag.r_prim)
             return c2, out
 
         carry2, outs = jax.lax.scan(step, carry, None, length=T_seg)
@@ -316,7 +320,7 @@ def race_loop(
             tables_ey.append(np.asarray(table.ey))
 
     cat = jax.tree.map(lambda *ls: np.concatenate(ls, axis=0)[:T], *segs)
-    Xg, Xf, Z, U, mu_hat, conv, iters = cat
+    Xg, Xf, Z, U, mu_hat, conv, iters, r_prim = cat
 
     # lap completions from the estimator's unwrapped s (the shared contract)
     s_traj = Xf[:, 4]
@@ -329,6 +333,7 @@ def race_loop(
     ])
     return RaceLog(
         Xg=Xg, Xf=Xf, Z=Z, U=U, mu_hat=mu_hat, converged=conv, iters=iters,
+        r_prim=r_prim,
         replan_steps=np.asarray(replan_steps),
         tables_vx=np.stack(tables_vx),
         tables_ey=np.stack(tables_ey),
@@ -455,6 +460,7 @@ class MegaRaceLearnLog(NamedTuple):
     tables_vx: np.ndarray    # (n_windows + 1, B, n) per-lane vx profiles
     mu_hat: np.ndarray       # (n_windows, B, T_window) adaptation traces
     lap_steps: np.ndarray    # (n_windows, B) steps per window-lap (T+1 DNF)
+    progress: np.ndarray     # (n_windows, B) arc length covered per window
     Xf_last: np.ndarray      # (B, T_window, 6) last window's states
     converged: np.ndarray    # (n_windows, B)
     table: RefTable          # final per-lane tables (leaves (B, n))
@@ -541,7 +547,7 @@ def mega_race_learn(
 
     bf = lambda a: jnp.moveaxis(a, -1, 0)
     tables_vx = [np.asarray(table_b.vx)]
-    mu_traces, laps, convs = [], [], []
+    mu_traces, laps, convs, progress = [], [], [], []
     Xf = None
     for w in range(n_windows):
         key, kw_ = jax.random.split(key)
@@ -552,6 +558,7 @@ def mega_race_learn(
         conv = bf(conv_bl)
         mu_traces.append(np.asarray(bf(mu_bl)))
         laps.append(np.asarray(steps_fn(Xf, s0_lane)))
+        progress.append(np.asarray(Xf[:, -1, 4] - s0_lane))
         convs.append(np.asarray(conv.mean(axis=1)))
         mu_now = carry.fr[0]                         # (B,) current mu-hat
         table_b = update(mu_now, table_b, Xf, U, conv)
@@ -561,6 +568,7 @@ def mega_race_learn(
         tables_vx=np.stack(tables_vx),
         mu_hat=np.stack(mu_traces),
         lap_steps=np.stack(laps),
+        progress=np.stack(progress),
         Xf_last=np.asarray(Xf),
         converged=np.stack(convs),
         table=table_b,
@@ -694,5 +702,5 @@ def batched_race_sweep(
     _, outs = jax.vmap(
         lambda c, m: segment(c, table, None, m), in_axes=(0, 0)
     )(carry_b, jnp.asarray(mu_true_b, f32))
-    Xg, Xf, _Z, U, mu_hat, conv, _it = outs
+    Xg, Xf, _Z, U, mu_hat, conv, _it, _r = outs
     return BatchedRaceLog(Xg=Xg, Xf=Xf, U=U, mu_hat=mu_hat, converged=conv)
