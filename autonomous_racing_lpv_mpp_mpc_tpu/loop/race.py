@@ -53,7 +53,12 @@ from ..track.track import Track, frenet_to_global
 from .estimator import DEFAULT_EKF_Q, EKFState, ekf_init, ekf_step
 from .friction import FrictionState, friction_init, friction_step
 from .global_loop import estimate_frenet, global_plant_step
-from .lap_learning import LapLearnConfig, _wraps_needed, learn_from_lap
+from .lap_learning import (
+    LapLearnConfig,
+    _memorize_obstacles,
+    _wraps_needed,
+    learn_from_lap,
+)
 from .mpc import MPCCarry, mpc_init, mpc_step
 
 
@@ -180,6 +185,8 @@ def race_loop(
     adapt_mu: bool = True,
     obstacles_fn: Optional[Callable[[int], Optional[np.ndarray]]] = None,
     max_obstacle_rows: int = 8,
+    obs_tracker_lead: float = 0.0,   # ramped line lead-in ahead of blocks
+    mu_plan0: Optional[float] = None,   # friction for the FIRST plan only
     ilc_every: int = 0,          # >0: ILC table refinement instead of replans
     ilc_cfg: Optional[LapLearnConfig] = None,
     sim_tire: str = "pacejka",
@@ -246,12 +253,42 @@ def race_loop(
     def current_mu() -> float:
         return float(carry.fric.mu) if adapt_mu else float(mu0)
 
+    first_plan_mu = [mu_plan0]   # consumed by the t=0 plan, then cleared
+
     def plan_now(t: int, x_state) -> RefTable:
         obs = _obstacles_at(obstacles_fn, t, max_obstacle_rows)
+        # first-encounter protection (ROADMAP r5 #2): the graze anatomy
+        # (measured r5) is FRICTION SATURATION, not a late side choice —
+        # a first plan at an optimistic mu0 carries so much corner speed
+        # on the true (lower-mu) surface that the tracker has no lateral
+        # authority left to hold ANY avoidance line. Corridor lead-ins
+        # and ramped line projections were both measured NOT to fix it
+        # (conv 0.75 -> 0.44..0.60 with the pass unchanged); planning the
+        # FIRST plan for the worst plausible surface does (the same
+        # plan-conservative-adapt-up discipline batched_race_sweep
+        # documents). ``mu_plan0`` sets that first-plan friction; replans
+        # then speed up as mu-hat firms.
+        mu_p = (first_plan_mu[0] if first_plan_mu[0] is not None
+                else current_mu())
+        first_plan_mu[0] = None
         table, _diag = plan_mpp(
-            p.replace(mu=jnp.asarray(current_mu(), f32)), pcfg, track,
+            p.replace(mu=jnp.asarray(mu_p, f32)), pcfg, track,
             scfg=plan_scfg, obstacles=obs, x0_state=x_state,
         )
+        if obs is not None and obs_tracker_lead > 0.0:
+            # OPT-IN ramped line lead-in (the learner's _memorize_obstacles
+            # projection applied to the planned line). Measured r5 on the
+            # first-encounter graze scenario: does NOT clear the pass and
+            # costs convergence (0.75 -> 0.58) — the graze is friction
+            # saturation, fixed by mu_plan0 above — so it ships OFF by
+            # default; useful where the plan's own corridor needs a
+            # pre-positioned line (e.g. very short tracker previews).
+            ey_room = float(track.width) / 2.0 - 0.05
+            ey2 = _memorize_obstacles(
+                p.replace(mu=jnp.asarray(current_mu(), f32)), cfg,
+                LapLearnConfig(obs_lead=obs_tracker_lead), track, table,
+                table.ey, obs, ey_room)
+            table = table.replace(ey=ey2)
         return table
 
     table = table0 if table0 is not None else plan_now(0, x0)
@@ -341,12 +378,22 @@ def race_loop(
     )
 
 
-def _obstacles_at(obstacles_fn, t: int, max_rows: int):
+def _obstacles_at(obstacles_fn, t: int, max_rows: int, lead: float = 0.0):
     if obstacles_fn is None:
         return None
     obs = obstacles_fn(t)
     if obs is None:
         return None
+    obs = np.asarray(obs, np.float32)
+    if lead > 0.0 and obs.size:
+        # extend each block's span backward so the corridor (and its side
+        # choice) binds BEFORE the block — corridor_from_blocks matches
+        # sm in [s0, s1], so a negative s0 simply keeps matching from
+        # s = 0 (the wrap-around tail of a lead crossing the start line
+        # is dropped; blocks this close to the line should be specified
+        # in wrapped coordinates by the caller).
+        obs = obs.copy()
+        obs[:, 0] = obs[:, 0] - lead
     from ..planner.opponents import pad_blocks
 
     return jnp.asarray(pad_blocks(obs, max_rows))
