@@ -16,6 +16,7 @@ from .scenarios import (
     make_scenario_grid,
     sharded_closed_loop,
     sharded_mega_loop,
+    sharded_race_sweep,
     sharded_solve_step,
     SweepMetrics,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "make_scenario_grid",
     "sharded_closed_loop",
     "sharded_mega_loop",
+    "sharded_race_sweep",
     "sharded_solve_step",
     "SweepMetrics",
     "riccati_factor_horizon_sharded",

@@ -201,6 +201,76 @@ def sharded_mega_loop(
     return X_log, _finalize(metrics)
 
 
+def sharded_race_sweep(
+    mesh: Mesh,
+    p,                              # VehicleParams (scalar leaves)
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    table,                          # RefTable (shared racing line)
+    x0_b: jnp.ndarray,              # (B, 6) Frenet initial states
+    T: int,
+    mu_true_b: jnp.ndarray,         # (B,) per-lane plant friction
+    mu0: float = 1.0,
+    noise_sigma=None,
+    key=None,
+    interpret: bool = False,
+):
+    """The COMPOSED deployment sweep (racestep kernel) sharded over the
+    scenario mesh axis: each device runs its lane shard's full measurement
+    -> EKF -> friction RLS -> tracker -> world-plant chain as one
+    shard-local kernel scan (ops/racestep_kernel.py); only the final
+    metric reduction crosses the mesh via psum. The multichip shape of
+    the r5 flagship — BASELINE configs 4-5 applied to the FULL stack.
+
+    Returns (mu_hat (B, T) sharded, Xf (B, T, 6) sharded, SweepMetrics
+    replicated).
+    """
+    import numpy as _np
+
+    from ..loop.race import make_racestep_scan
+    from ..ops.racestep_kernel import racestep_init
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sig = (_np.zeros(6, _np.float32) if noise_sigma is None
+           else _np.asarray(noise_sigma, _np.float32))
+    p_nom = p.replace(mu=jnp.asarray(mu0, jnp.float32))
+
+    def shard_body(x0_l, mu_l, key_l):
+        b_local = x0_l.shape[0]
+        carry0 = racestep_init(p, cfg, track, x0_l, mu0)
+        run = make_racestep_scan(
+            p_nom, cfg, scfg, track, table, T, mu_l, sig,
+            interpret=interpret)
+        _, (Xg, Xf, U, mu_hat, conv) = run(carry0, key_l[0])
+        Xf_bf = jnp.moveaxis(Xf, -1, 0)          # (b_local, T, 6)
+        mu_bf = jnp.moveaxis(mu_hat, -1, 0)      # (b_local, T)
+        ey_rms = jnp.sqrt(jnp.mean(Xf_bf[..., 5] ** 2, axis=-1))
+        local = SweepMetrics(
+            n_scenarios=jnp.asarray(b_local, jnp.float32),
+            ey_rms=jnp.sum(ey_rms),
+            converged_frac=jnp.sum(jnp.mean(jnp.moveaxis(conv, -1, 0),
+                                            axis=1)),
+            mean_iters=jnp.zeros((), jnp.float32),
+            mean_progress=jnp.sum(Xf_bf[:, -1, 4]),
+        )
+        return mu_bf, Xf_bf, psum_tree(local, SCENARIO_AXIS)
+
+    n_shards = mesh.shape[SCENARIO_AXIS]
+    keys = jax.random.split(key, n_shards)
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P()),
+        check_vma=False,
+    )
+    mu_hat, Xf, metrics = fn(jnp.asarray(x0_b, jnp.float32),
+                             jnp.asarray(mu_true_b, jnp.float32), keys)
+    return mu_hat, Xf, _finalize(metrics)
+
+
 def sharded_solve_step(
     mesh: Mesh,
     scen: ScenarioBatch,

@@ -305,3 +305,33 @@ def test_mega_race_learn_per_lane_tables():
     mu_fin = log.mu_hat[-1, :, -1]
     assert mu_fin[0] < 0.6 and mu_fin[2] > mu_fin[0], mu_fin
     assert log.converged.mean() > 0.9
+
+
+def test_sharded_race_sweep_matches_unsharded():
+    """The composed kernel inside shard_map over the fake-8 scenario mesh
+    (the r5 flagship's multichip shape) must reproduce the unsharded
+    kernel sweep lane for lane (clean measurements so the per-shard key
+    split is inert), with the psum metric reduction consistent."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.parallel import (
+        make_mesh,
+        sharded_race_sweep,
+    )
+
+    track, table, _mu, _x0 = _sweep_inputs()
+    B = 8
+    mu_b = jnp.linspace(0.6, 1.1, B).astype(jnp.float32)
+    x0 = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(1.2).at[:, 4].set(2.0)
+    kw = dict(T=25, mu_true_b=mu_b, mu0=0.85, noise_sigma=None)
+
+    ref = mega_race_sweep(P, CFG, SCFG, track, table, x0, interpret=True,
+                          **kw)
+    mesh = make_mesh()
+    mu_s, Xf_s, metrics = sharded_race_sweep(
+        mesh, P, CFG, SCFG, track, table, x0, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(ref.mu_hat),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(Xf_s), np.asarray(ref.Xf),
+                               atol=1e-5, rtol=0)
+    assert float(metrics.n_scenarios) == B
+    assert float(metrics.converged_frac) > 0.9
+    assert len(mu_s.sharding.device_set) == 8
