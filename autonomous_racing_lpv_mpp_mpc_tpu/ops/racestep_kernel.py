@@ -147,7 +147,7 @@ def _racestep_kernel(
      ekq_ref, ekr_ref) = refs[:7]
     refs = refs[7:]
     if use_table_refs:
-        (rvx_ref, rey_ref, rtaux_ref), refs = refs[:3], refs[3:]
+        (rvx_ref, rey_ref, rep_ref, rtaux_ref), refs = refs[:4], refs[4:]
     consts = refs[:14]
     (xg_out, ekx_out, ekP_out, fr_out, xf_out,
      Xp_out, Up_out, s_out, lam_out, u0_out, stats_out) = refs[14:25]
@@ -337,6 +337,14 @@ def _racestep_kernel(
         inv_dst = rtaux[1, 0]
         rvx_t = rvx_ref[...]
         rey_t = rey_ref[...]
+        rep_t = rep_ref[...]
+        # all three channels sample at the SAME s, so the (i0, i1, t)
+        # one-hots are built ONCE per stage and applied to each table —
+        # and the racing-line heading rides a PRECOMPUTED e_psi node
+        # table (the exact refs_from_table slope formula evaluated at
+        # the nodes host-side) instead of four extra +-probe e_y
+        # fetches. Measured: the naive per-channel sampling was ~1.06
+        # ms of the 3.63 ms composed step.
         if per_lane_refs:
             # PER-LANE tables (the batched learning sweep): (n_pad, B)
             # operands, one table column per lane — the fetch is a plain
@@ -345,41 +353,48 @@ def _racestep_kernel(
             nt_pad = rvx_t.shape[0]
             rows_t = jax.lax.broadcasted_iota(jnp.int32, (nt_pad, B), 0)
 
-            def rfetch(tab, idx):
-                oh = (rows_t == idx[None, :]).astype(f32)
-                return (tab * oh).sum(axis=0)
+            def refs_at(s):
+                smt = s - Lt * jnp.floor(s / Lt)
+                ff = smt * inv_dst
+                i0 = jnp.clip(ff.astype(jnp.int32), 0, n_ref - 1)
+                i1 = (i0 + 1) % n_ref
+                tt = ff - i0.astype(f32)
+                oh = ((rows_t == i0[None, :]).astype(f32) * (1.0 - tt)
+                      + (rows_t == i1[None, :]).astype(f32) * tt)
+                return ((rvx_t * oh).sum(axis=0),
+                        (rey_t * oh).sum(axis=0),
+                        (rep_t * oh).sum(axis=0))
         else:
             nct, Ct = rvx_t.shape
             rowc_t = jax.lax.broadcasted_iota(jnp.int32, (nct, B), 0)
             off_t = jax.lax.broadcasted_iota(jnp.int32, (Ct, B), 0)
 
-            def rfetch(tab, idx):
-                ohc = (rowc_t == (idx // Ct)[None, :]).astype(f32)
-                sel = jax.lax.dot_general(
-                    tab, ohc, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-                ohw = (off_t == (idx % Ct)[None, :]).astype(f32)
-                return (sel * ohw).sum(axis=0)
-
-        def rinterp(tab, s):
-            smt = s - Lt * jnp.floor(s / Lt)
-            ff = smt * inv_dst
-            i0 = jnp.clip(ff.astype(jnp.int32), 0, n_ref - 1)
-            i1 = (i0 + 1) % n_ref
-            tt = ff - i0.astype(f32)
-            return rfetch(tab, i0) * (1.0 - tt) + rfetch(tab, i1) * tt
+            def refs_at(s):
+                smt = s - Lt * jnp.floor(s / Lt)
+                ff = smt * inv_dst
+                i0 = jnp.clip(ff.astype(jnp.int32), 0, n_ref - 1)
+                i1 = (i0 + 1) % n_ref
+                tt = ff - i0.astype(f32)
+                outs = []
+                for idx, w in ((i0, 1.0 - tt), (i1, tt)):
+                    ohc = (rowc_t == (idx // Ct)[None, :]).astype(f32)
+                    ohw = (off_t == (idx % Ct)[None, :]).astype(f32) \
+                        * w[None, :]
+                    row = []
+                    for tab in (rvx_t, rey_t, rep_t):
+                        sel = jax.lax.dot_general(
+                            tab, ohc, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+                        row.append((sel * ohw).sum(axis=0))
+                    outs.append(row)
+                return tuple(a + b for a, b in zip(outs[0], outs[1]))
 
         zB = jnp.zeros((B,), f32)
         for k in range(N + 1):
             # the SHIFTED schedule's s (megastep_refs row semantics):
             # row 0 = the filtered state, rows 1..N = X_pred[min(k+1, N)]
             s_k = xf[4] if k == 0 else Xp_ref[min(k + 1, N)][4]
-            vxk = rinterp(rvx_t, s_k)
-            eyk = rinterp(rey_t, s_k)
-            eyp = rinterp(rey_t, s_k + ref_probe)
-            eym = rinterp(rey_t, s_k - ref_probe)
-            ep = atan2_bl(eyp - eym, jnp.full((B,), 2.0 * ref_probe, f32))
-            ep = jnp.where(jnp.abs(ep) > 0.3, 0.0, ep)
+            vxk, eyk, ep = refs_at(s_k)
             xref_s[k] = jnp.stack([vxk, zB, zB, ep, zB, eyk])
         xref_in = xref_s
     else:
@@ -415,10 +430,34 @@ def _racestep_kernel(
     xf_out[...] = xf
 
 
-def _ref_table_inputs(table):
-    """RefTable vx/ey node arrays as chunked kernel operands + aux
-    [length, 1/ds] (the delta_ff channel is not part of the tracking
-    reference — refs_from_table consumes only vx/ey/slope)."""
+def _ref_epsi_nodes(table, probe: float = 0.15):
+    """Racing-line heading reference at the table nodes — the EXACT
+    refs_from_table slope formula (+-probe central difference of the
+    linear-interp line, atan, seam guard) evaluated host-side once, so
+    the kernel needs one channel fetch instead of four +-probe e_y
+    fetches per stage. Between nodes the kernel's linear interp of these
+    values differs from atan-of-interp only at the second-order level
+    (and smooths the seam guard's jump across one cell)."""
+    n = table.vx.shape[-1]
+    ds = jnp.reshape(jnp.asarray(table.ds, jnp.float32), (-1,))[0]
+    s_nodes = jnp.arange(n, dtype=jnp.float32) * ds
+
+    def one(tbl):
+        eyp = tbl.lookup(s_nodes + probe)[1]
+        eym = tbl.lookup(s_nodes - probe)[1]
+        ep = jnp.arctan2(eyp - eym, 2.0 * probe)
+        return jnp.where(jnp.abs(ep) > 0.3, 0.0, ep)
+
+    if jnp.ndim(table.vx) == 2:          # per-lane tables (B, n)
+        return jax.vmap(one)(table)
+    return one(table)
+
+
+def _ref_table_inputs(table, probe: float = 0.15):
+    """RefTable vx/ey node arrays + the precomputed e_psi node channel
+    as chunked kernel operands + aux [length, 1/ds] (the delta_ff channel
+    is not part of the tracking reference — refs_from_table consumes only
+    vx/ey/slope)."""
     C = 128
     n = table.vx.shape[0]
     n_pad = -(-n // C) * C
@@ -428,7 +467,8 @@ def _ref_table_inputs(table):
         return a.reshape(n_pad // C, C)
 
     rtaux = jnp.stack([table.length, 1.0 / table.ds])[:, None]
-    return chunked(table.vx), chunked(table.ey), rtaux, n
+    return (chunked(table.vx), chunked(table.ey),
+            chunked(_ref_epsi_nodes(table, probe)), rtaux, n)
 
 
 def _pose_table_inputs(track: Track):
@@ -541,15 +581,16 @@ def racestep(
         len0 = jnp.reshape(jnp.asarray(x_ref.length, f32), (-1,))[0]
         ds0 = jnp.reshape(jnp.asarray(x_ref.ds, f32), (-1,))[0]
         rvx, rey = padl(col(x_ref.vx)), padl(col(x_ref.ey))
+        rep = padl(col(_ref_epsi_nodes(x_ref)))
         rtaux = jnp.stack([len0, 1.0 / ds0])[:, None]
-        ref_tabs = (rvx, rey, rtaux)
+        ref_tabs = (rvx, rey, rep, rtaux)
         xref_bl = jnp.zeros((1, B), f32)
     elif use_table_refs:
         # the table is sampled IN-KERNEL (host-side refs_from_table was
         # measured at ~24 ms/step — XLA TPU gathers); the xref operand
         # degenerates to a dummy row to keep the operand layout static
-        rvx, rey, rtaux, n_ref = _ref_table_inputs(x_ref)
-        ref_tabs = (rvx, rey, rtaux)
+        rvx, rey, rep, rtaux, n_ref = _ref_table_inputs(x_ref)
+        ref_tabs = (rvx, rey, rep, rtaux)
         xref_bl = jnp.zeros((1, B), f32)
     else:
         # megastep_refs reads carry.x for ref row 0; the composed carry's
@@ -642,10 +683,12 @@ def racestep(
         cspec(a.shape) for a in consts_in
     ]
     if per_lane_refs:
-        # rvx/rey sit at consts_in[7:9] but are per-lane BATCHED operands
+        # rvx/rey/rep sit at consts_in[7:10] but are per-lane BATCHED
+        # operands
         off = len(batched) + 7
         in_specs[off] = bspec(rvx.shape)
         in_specs[off + 1] = bspec(rey.shape)
+        in_specs[off + 2] = bspec(rep.shape)
     out_specs = tuple(bspec(s.shape) for s in out_shapes)
     scratch = [
         pltpu.VMEM((N + 1, NX, PB), f32),    # Xs
