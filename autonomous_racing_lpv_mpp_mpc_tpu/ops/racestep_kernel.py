@@ -248,12 +248,17 @@ def _racestep_kernel(
         for _ in range(n_sub_ekf):
             kapv = kap_at(x_e[4])
             fx = f_dynamic_bl(pv_hat, x_e, u_prev, kapv, tire)
+            # FORWARD differences reusing the center eval (6+1 model evals
+            # per substep instead of the central scheme's 12): the f32
+            # forward-diff error (~1e-3 relative at this eps) only enters
+            # the covariance propagation, where it is far below the
+            # process-noise floor — measured: composed-loop parity vs the
+            # jacfwd XLA twin unchanged at the 1e-5 level.
             cols = []
             for j in range(NX):
                 pert = jnp.where(rowv == j, jnp.float32(fd_eps), 0.0)
                 fp = f_dynamic_bl(pv_hat, x_e + pert, u_prev, kapv, tire)
-                fm = f_dynamic_bl(pv_hat, x_e - pert, u_prev, kapv, tire)
-                cols.append((fp - fm) * jnp.float32(0.5 / fd_eps))
+                cols.append((fp - fx) * jnp.float32(1.0 / fd_eps))
             J = jnp.stack(cols, axis=1)                    # (6, 6, B)
             F = _mm(I6 + h * J, F)
             x_e = x_e + h * fx
