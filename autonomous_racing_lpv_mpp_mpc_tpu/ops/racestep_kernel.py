@@ -136,7 +136,7 @@ def _racestep_kernel(
     forgetting: float, min_sensitivity: float, win_cells: int,
     fd_eps: float, has_eyb: bool,
     use_table_refs: bool = False, n_ref: int = 0, ref_probe: float = 0.15,
-    per_lane_refs: bool = False,
+    per_lane_refs: bool = False, ref_single_level: bool = False,
 ):
     f32 = jnp.float32
     if has_eyb:
@@ -350,11 +350,17 @@ def _racestep_kernel(
         # the nodes host-side) instead of four extra +-probe e_y
         # fetches. Measured: the naive per-channel sampling was ~1.06
         # ms of the 3.63 ms composed step.
-        if per_lane_refs:
-            # PER-LANE tables (the batched learning sweep): (n_pad, B)
-            # operands, one table column per lane — the fetch is a plain
-            # one-hot multiply-reduce over the row axis (O(n) VPU per
-            # lookup; no chunk trick, each lane reads a different table)
+        if per_lane_refs or ref_single_level:
+            # SINGLE-LEVEL soft one-hot over the row axis: one weighted
+            # one-hot per stage ((1-t) at i0, t at i1) applied to all
+            # three channel tables by broadcasting — (n_pad, 1) shared
+            # tables and (n_pad, B) PER-LANE tables take the same code.
+            # Pure VPU: measured faster than the two-level MXU scheme for
+            # the small ref tables (the two-level path serialized ~126
+            # small chunk-select matmuls per step, each paying MXU issue
+            # latency). The chunked MXU path below remains for very long
+            # tables (> _REF_SINGLE_LEVEL_MAX nodes), where O(n) VPU rows
+            # per fetch would dominate.
             nt_pad = rvx_t.shape[0]
             rows_t = jax.lax.broadcasted_iota(jnp.int32, (nt_pad, B), 0)
 
@@ -458,22 +464,35 @@ def _ref_epsi_nodes(table, probe: float = 0.15):
     return one(table)
 
 
+_REF_SINGLE_LEVEL_MAX = 4096   # nodes; above this, chunked MXU lookup
+
+
 def _ref_table_inputs(table, probe: float = 0.15):
     """RefTable vx/ey node arrays + the precomputed e_psi node channel
-    as chunked kernel operands + aux [length, 1/ds] (the delta_ff channel
-    is not part of the tracking reference — refs_from_table consumes only
-    vx/ey/slope)."""
-    C = 128
+    as kernel operands + aux [length, 1/ds] (the delta_ff channel is not
+    part of the tracking reference — refs_from_table consumes only
+    vx/ey/slope). Small tables ship as (n_pad, 1) columns for the
+    single-level VPU soft-one-hot fetch; very long tables fall back to
+    the chunked (n_chunks, 128) MXU layout."""
     n = table.vx.shape[0]
-    n_pad = -(-n // C) * C
+    single = n <= _REF_SINGLE_LEVEL_MAX
+    if single:
+        n_pad = -(-n // 8) * 8
 
-    def chunked(a):
-        a = jnp.concatenate([a, jnp.zeros((n_pad - n,), jnp.float32)])
-        return a.reshape(n_pad // C, C)
+        def shape(a):
+            a = jnp.concatenate([a, jnp.zeros((n_pad - n,), jnp.float32)])
+            return a[:, None]
+    else:
+        C = 128
+        n_pad = -(-n // C) * C
+
+        def shape(a):
+            a = jnp.concatenate([a, jnp.zeros((n_pad - n,), jnp.float32)])
+            return a.reshape(n_pad // C, C)
 
     rtaux = jnp.stack([table.length, 1.0 / table.ds])[:, None]
-    return (chunked(table.vx), chunked(table.ey),
-            chunked(_ref_epsi_nodes(table, probe)), rtaux, n)
+    return (shape(table.vx), shape(table.ey),
+            shape(_ref_epsi_nodes(table, probe)), rtaux, n, single)
 
 
 def _pose_table_inputs(track: Track):
@@ -589,12 +608,13 @@ def racestep(
         rep = padl(col(_ref_epsi_nodes(x_ref)))
         rtaux = jnp.stack([len0, 1.0 / ds0])[:, None]
         ref_tabs = (rvx, rey, rep, rtaux)
+        ref_single = True          # per-lane tables use the row fetch
         xref_bl = jnp.zeros((1, B), f32)
     elif use_table_refs:
         # the table is sampled IN-KERNEL (host-side refs_from_table was
         # measured at ~24 ms/step — XLA TPU gathers); the xref operand
         # degenerates to a dummy row to keep the operand layout static
-        rvx, rey, rep, rtaux, n_ref = _ref_table_inputs(x_ref)
+        rvx, rey, rep, rtaux, n_ref, ref_single = _ref_table_inputs(x_ref)
         ref_tabs = (rvx, rey, rep, rtaux)
         xref_bl = jnp.zeros((1, B), f32)
     else:
@@ -608,6 +628,7 @@ def racestep(
 
         ref_tabs = ()
         n_ref = 0
+        ref_single = False
         xref_bl = megastep_refs(cfg, x_ref,
                                 _RefView(x=carry.ekx, X_pred=carry.X_pred))
     ktab, taux, n_cells = _table_inputs(track)
@@ -653,7 +674,7 @@ def racestep(
         min_sensitivity=float(min_sensitivity),
         win_cells=win_cells, fd_eps=3e-3, has_eyb=has_eyb,
         use_table_refs=use_table_refs, n_ref=n_ref,
-        per_lane_refs=per_lane_refs,
+        per_lane_refs=per_lane_refs, ref_single_level=ref_single,
     )
 
     NA = NX + NU

@@ -43,10 +43,9 @@ FUSED_FLOOR = 500_000.0
 XLA_FLOOR = 18_000.0
 # the COMPOSED deployment step (racestep kernel: measurement + EKF +
 # friction RLS + tracker + world plant in one launch, r5): measured
-# 1.29 M at the K=100 protocol (1.37 M at K=500, after shared-one-hot +
-# epsi-node-table ref sampling and the forward-diff EKF Jacobian) —
-# floor ~10% under.
-RACE_FLOOR = 1_150_000.0
+# 1.49 M at the K=100 protocol (1.58 M at K=500, after the single-level
+# VPU ref fetch + forward-diff EKF Jacobian) — floor ~10% under.
+RACE_FLOOR = 1_330_000.0
 LATENCY_BUDGET_MS = 33.3  # one control period at dt = 1/30
 
 
