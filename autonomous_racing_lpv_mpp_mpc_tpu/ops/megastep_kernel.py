@@ -82,23 +82,45 @@ class MegaCarry(NamedTuple):
 
 
 def _make_kap_at(ktab_ref, taux_ref, n_cells: int, B: int):
-    """Two-level one-hot curvature lookup over the dense table
-    (track/track.py::curvature_at semantics: wrap, floor, clip).
+    """Branch-free curvature lookup over the dense table
+    (track/track.py::curvature_at semantics: wrap, floor, clip), in one
+    of two layouts chosen by ``_table_inputs``:
 
-    Level 1 selects each lane's 128-cell chunk with a (C, n_chunks) @
-    (n_chunks, B) matmul — MXU work, so the table-size-proportional part
-    of the lookup rides the systolic array instead of the VPU (the r1
-    single-level (n, B) one-hot was O(n) VPU time per lookup and
-    collapsed on long tracks — VERDICT r1 weak #6). Level 2 picks the
-    cell within the chunk with a (C, B) one-hot multiply-reduce, O(C).
+    - **single-level** ((n_pad, 1) column operand, tracks up to
+      ``_KAP_SINGLE_LEVEL_MAX`` cells): a plain one-hot multiply-reduce
+      over the row axis — pure VPU, no MXU issue latency per lookup.
+      Measured r5: the crossover vs the two-level form sits BELOW the
+      1,590-cell racetrack for the kernels' ~30-lookup pattern (at 1,590
+      cells single-level is ~4% slower on the headline), so only short
+      tracks take this path; the small REF tables (racestep) profit the
+      most (+15.6%).
+    - **two-level** ((n_chunks, 128) operand, long tracks): level 1
+      selects each lane's 128-cell chunk with a (C, n_chunks) @
+      (n_chunks, B) matmul (MXU — table-size-proportional work rides the
+      systolic array), level 2 picks the cell within the chunk with a
+      (C, B) one-hot multiply-reduce.
 
-    Returns (kap_at, length, inv_ds). Shared by the megastep and racestep
-    kernels (the racestep builds sibling lookups for the pose tables)."""
+    Both produce exactly the same values (the one-hot sum has a single
+    nonzero term). Returns (kap_at, length, inv_ds). Shared by the
+    megastep and racestep kernels (the racestep builds sibling lookups
+    for the pose tables)."""
     f32 = jnp.float32
-    ktab = ktab_ref[...]                         # (n_chunks, C)
-    n_chunks, C = ktab.shape
+    ktab = ktab_ref[...]
     length = taux_ref[0, 0]
     inv_ds = taux_ref[1, 0]
+    if ktab.shape[1] == 1:                       # single-level (n_pad, 1)
+        n_pad = ktab.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, B), 0)
+
+        def kap_at(s):
+            sm = s - length * jnp.floor(s / length)
+            idx = jnp.clip((sm * inv_ds).astype(jnp.int32), 0, n_cells - 1)
+            oh = (rows == idx[None, :]).astype(f32)
+            return (ktab * oh).sum(axis=0)
+
+        return kap_at, length, inv_ds
+
+    n_chunks, C = ktab.shape
     row_chunk = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, B), 0)
     row_within = jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
 
@@ -687,17 +709,33 @@ def megacache_init(cfg: MPCConfig, scfg: SolverConfig, B: int) -> MegaCache:
     )
 
 
+# crossover measured r5 on the headline protocol: at 1,590 cells (the
+# racetrack) the single-level VPU lookup is ~4% SLOWER than the chunked
+# MXU form (the O(n) one-hot rows outweigh ~30 matmul issue latencies),
+# while the much smaller REF tables profit from single-level — so the
+# kappa threshold sits below the racetrack and the ref-table threshold
+# (ops/racestep_kernel.py) stays at 4096.
+_KAP_SINGLE_LEVEL_MAX = 1024   # cells; above this, chunked MXU lookup
+
+
 def _table_inputs(track: Track):
-    """Dense curvature table as kernel operands: (n_chunks, 128) values
-    (padded to a lane multiple; the two-level in-kernel lookup selects the
-    chunk on the MXU, the cell within on the VPU) + (2, 1) aux
-    [length, 1/ds]."""
-    C = 128
+    """Dense curvature table as kernel operands + (2, 1) aux
+    [length, 1/ds]. Short tracks ship as an (n_pad, 1) column for the
+    single-level VPU one-hot lookup; longer tracks keep the
+    (n_chunks, 128) layout whose chunk select rides the MXU
+    (see _make_kap_at)."""
     n = track.kappa.shape[0]
-    n_pad = -(-n // C) * C
-    ktab = jnp.concatenate(
-        [track.kappa, jnp.zeros((n_pad - n,), jnp.float32)]
-    ).reshape(n_pad // C, C)
+    if n <= _KAP_SINGLE_LEVEL_MAX:
+        n_pad = -(-n // 8) * 8
+        ktab = jnp.concatenate(
+            [track.kappa, jnp.zeros((n_pad - n,), jnp.float32)]
+        )[:, None]
+    else:
+        C = 128
+        n_pad = -(-n // C) * C
+        ktab = jnp.concatenate(
+            [track.kappa, jnp.zeros((n_pad - n,), jnp.float32)]
+        ).reshape(n_pad // C, C)
     taux = jnp.stack([track.length, 1.0 / track.ds])[:, None]
     return ktab, taux, n
 
