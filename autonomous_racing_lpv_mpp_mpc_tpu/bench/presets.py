@@ -437,12 +437,14 @@ def learn(p: VehicleParams, scfg: SolverConfig, n_laps: int = 6,
 def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
          mu_true: float = 0.6, mu0: float = 1.0, replan_every: int = 60,
          track_name: str = "racetrack", mode: str = "replan",
-         plot: str = "", **kw) -> Dict:
+         backend: str = "xla", plot: str = "", **kw) -> Dict:
     """FLAGSHIP composition (loop/race.py): noisy measurement -> EKF ->
     friction RLS -> mu-aware MPP replanning (or ILC refinement) -> tracker
     -> world-frame Pacejka plant, the reference's full deployment loop
     (SURVEY.md §3.1) in one program. ``mode=learn`` switches the table
-    updates from MPP replans to between-window ILC refinement."""
+    updates from MPP replans to between-window ILC refinement;
+    ``backend=mega`` runs the segments on the composed racestep kernel
+    (PERF.md r5)."""
     from ..core.config import MPPConfig
     from ..loop import LapLearnConfig, initial_table, race_loop
 
@@ -463,6 +465,7 @@ def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
         ilc_cfg=LapLearnConfig(gain=0.7, dv_max=0.8) if learn_mode else None,
         table0=(initial_table(track, ds=0.05, vx0=1.0) if learn_mode
                 else None),
+        backend=backend,
     )
     if plot:
         from ..utils import plotting  # noqa: F401  (sets the Agg backend)
@@ -483,6 +486,7 @@ def race(p: VehicleParams, scfg: SolverConfig, T: int = 720,
     return {
         "preset": "race",
         "mode": mode,
+        "backend": backend,
         "mu_true": mu_true,
         "mu_hat_final": round(float(log.mu_hat[-1]), 4),
         "laps": int(log.lap_steps.size),

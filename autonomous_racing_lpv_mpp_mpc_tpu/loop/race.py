@@ -194,6 +194,8 @@ def race_loop(
     plan_scfg: Optional[SolverConfig] = None,
     table0: Optional[RefTable] = None,
     ekf_q=None,              # (6,) per-state EKF process noise variance
+    backend: str = "xla",    # "mega": segments on the racestep kernel
+    interpret: bool = False,    # mega backend off-TPU (tests)
 ) -> RaceLog:
     """Race ``T`` control steps with the FULL stack composed.
 
@@ -212,6 +214,15 @@ def race_loop(
 
     Returns a :class:`RaceLog` with truth, estimates, raw measurements,
     controls, the mu-hat trace, every table update, and lap completions.
+
+    ``backend="mega"`` runs every segment on the COMPOSED racestep kernel
+    (ops/racestep_kernel.py — one Pallas launch per step; PERF.md r5):
+    same estimate -> adapt -> solve -> apply -> simulate semantics, host
+    Python still only at segment boundaries. Static obstacles only (the
+    kernel runner bakes the corridor blocks; the XLA backend handles
+    moving ``obstacles_fn``), and the sensor-noise stream is drawn
+    per-step from one key rather than the XLA path's per-lane key split,
+    so runs match the XLA backend behaviorally, not bitwise.
     """
     if cfg.model != "dynamic":
         raise ValueError("race_loop composes the friction estimator; it "
@@ -224,10 +235,27 @@ def race_loop(
     if ekf_q is None:
         ekf_q = np.asarray(DEFAULT_EKF_Q, np.float32)
 
-    segment = _make_segment(
-        p, cfg, scfg, track, replan_every, mu_true, mu0, sim_tire, n_sub,
-        noise_sigma, use_ekf, adapt_mu, ekf_q,
-    )
+    use_mega = backend == "mega"
+    if use_mega:
+        from ..ops.racestep_kernel import racestep_init
+
+        sig = (np.zeros(6, np.float32) if noise_sigma is None
+               else np.asarray(noise_sigma, np.float32))
+        obs0 = obstacles_fn(0) if obstacles_fn is not None else None
+        mega_runner = make_racestep_scan(
+            p.replace(mu=jnp.asarray(mu0, f32)), cfg, scfg, track, None,
+            replan_every, jnp.full((1,), mu_true, f32), sig,
+            use_ekf=use_ekf, adapt_mu=adapt_mu, sim_tire=sim_tire,
+            n_sub=n_sub, ekf_q=ekf_q, obstacles=obs0, table_arg=True,
+            interpret=interpret)
+        mcarry = racestep_init(p, cfg, track, jnp.asarray(x0, f32)[None],
+                               mu0)
+        segment = None
+    else:
+        segment = _make_segment(
+            p, cfg, scfg, track, replan_every, mu_true, mu0, sim_tire,
+            n_sub, noise_sigma, use_ekf, adapt_mu, ekf_q,
+        )
 
     # ILC refinement update (jitted once; mu-hat enters as a traced arg)
     wraps = _wraps_needed(
@@ -251,7 +279,10 @@ def race_loop(
     )
 
     def current_mu() -> float:
-        return float(carry.fric.mu) if adapt_mu else float(mu0)
+        if not adapt_mu:
+            return float(mu0)
+        return (float(mcarry.fr[0, 0]) if use_mega
+                else float(carry.fric.mu))
 
     first_plan_mu = [mu_plan0]   # consumed by the t=0 plan, then cleared
 
@@ -321,8 +352,28 @@ def race_loop(
     n_segs = -(-T // replan_every)
     for i in range(n_segs):
         t = i * replan_every
-        obs = _obstacles_at(obstacles_fn, t, max_obstacle_rows)
-        carry, outs = segment(carry, table, obs)
+        if use_mega:
+            if obstacles_fn is not None:
+                obs_now = obstacles_fn(t)
+                same = (obs_now is None) == (obs0 is None) and (
+                    obs_now is None
+                    or np.array_equal(np.asarray(obs_now, np.float32),
+                                      np.asarray(obs0, np.float32)))
+                if not same:
+                    raise NotImplementedError(
+                        "race_loop(backend='mega') supports STATIC "
+                        "obstacles only (the kernel runner bakes the "
+                        "corridor blocks); use the xla backend for "
+                        "moving obstacles_fn")
+            key, kseg = jax.random.split(key)
+            mcarry, outs_bl = mega_runner(mcarry, kseg, table)
+            xg_b, xf_b, u_b, mu_b, conv_b, z_b, it_b, rp_b = outs_bl
+            sq = lambda a: jnp.moveaxis(a, -1, 0)[0]   # drop the B=1 lane
+            outs = (sq(xg_b), sq(xf_b), sq(z_b), sq(u_b), mu_b[:, 0],
+                    conv_b[:, 0], it_b[:, 0], rp_b[:, 0])
+        else:
+            obs = _obstacles_at(obstacles_fn, t, max_obstacle_rows)
+            carry, outs = segment(carry, table, obs)
         segs.append(outs)
         t_next = t + replan_every
         if t_next >= T:
@@ -347,8 +398,12 @@ def race_loop(
                 del seg_X[:-ilc_every], seg_U[:-ilc_every], seg_C[:-ilc_every]
         else:
             # replan from the current ESTIMATED state at the current mu-hat
-            table = plan_now(t_next, carry.ekf.x if use_ekf
-                             else carry.x_prev_f)
+            if use_mega:
+                x_state = (mcarry.ekx[:, 0] if use_ekf
+                           else mcarry.x_prev_f[:, 0])
+            else:
+                x_state = carry.ekf.x if use_ekf else carry.x_prev_f
+            table = plan_now(t_next, x_state)
             replan_steps.append(t_next)
             tables_vx.append(np.asarray(table.vx))
             # keep tables_ey in lockstep with replan_steps in BOTH modes
@@ -460,7 +515,7 @@ def mega_race_sweep(
         use_ekf=use_ekf, adapt_mu=adapt_mu, sim_tire=sim_tire,
         n_sub=n_sub, ekf_q=ekf_q, obstacles=obstacles, interpret=interpret,
     )
-    _, (Xg, Xf, U, mu_hat, conv) = run(carry0, key)
+    _, (Xg, Xf, U, mu_hat, conv, _z, _it, _r) = run(carry0, key)
     bf = lambda a: jnp.moveaxis(a, -1, 0)      # (T, ., B) -> (B, T, .)
     return BatchedRaceLog(Xg=bf(Xg), Xf=bf(Xf), U=bf(U),
                           mu_hat=bf(mu_hat), converged=bf(conv))
@@ -599,7 +654,8 @@ def mega_race_learn(
     for w in range(n_windows):
         key, kw_ = jax.random.split(key)
         s0_lane = carry.ekx[4]                       # (B,) window start s
-        carry, (Xg, Xf_bl, U_bl, mu_bl, conv_bl) = run(carry, kw_, table_b)
+        carry, (Xg, Xf_bl, U_bl, mu_bl, conv_bl, _z, _it, _r) = run(
+            carry, kw_, table_b)
         Xf = bf(Xf_bl)                               # (B, T, 6)
         U = bf(U_bl)
         conv = bf(conv_bl)
@@ -677,13 +733,14 @@ def _make_racestep_scan_impl(
                     car.X_pred[-1:, s_idx],
                 ], axis=0)
                 eyb = eyb_from_sched(s_sched)
-            car2, u0, diag = racestep(
+            car2, u0, diag, z = racestep(
                 cfg, scfg, track, prm, tbl, car, noise, mu_true_b,
                 ekf_q, ekf_r, n_sub=n_sub, sim_tire=sim_tire,
                 use_ekf=use_ekf, adapt_mu=adapt_mu, interpret=interpret,
                 eyb=eyb,
             )
-            out = (car2.xg, car2.x_prev_f, u0, diag[5], diag[2])
+            out = (car2.xg, car2.x_prev_f, u0, diag[5], diag[2], z,
+                   diag[4], diag[0])
             return (car2, kk), out
 
         (carry, _), outs = jax.lax.scan(step, (carry, key), None, length=T)

@@ -149,9 +149,9 @@ def _racestep_kernel(
     if use_table_refs:
         (rvx_ref, rey_ref, rep_ref, rtaux_ref), refs = refs[:4], refs[4:]
     consts = refs[:14]
-    (xg_out, ekx_out, ekP_out, fr_out, xf_out,
-     Xp_out, Up_out, s_out, lam_out, u0_out, stats_out) = refs[14:25]
-    scratch = refs[25:]
+    (xg_out, ekx_out, ekP_out, fr_out, xf_out, z_out,
+     Xp_out, Up_out, s_out, lam_out, u0_out, stats_out) = refs[14:26]
+    scratch = refs[26:]
     if use_table_refs:
         scratch, xref_s = scratch[:-1], scratch[-1]
 
@@ -235,6 +235,7 @@ def _racestep_kernel(
     z = jnp.concatenate([
         xg[0:3], e_psi[None], s_unw[None], e_y[None],
     ], axis=0) + noise_ref[...]
+    z_out[...] = z
 
     # ---- 2. EKF at mu-hat (loop/estimator.py::ekf_step) -----------------
     row6 = jax.lax.broadcasted_iota(jnp.int32, (6, 6, B), 0)
@@ -684,6 +685,7 @@ def racestep(
         jax.ShapeDtypeStruct((6, 6, Bp), f32),          # ekP
         jax.ShapeDtypeStruct((2, Bp), f32),             # fr
         jax.ShapeDtypeStruct((6, Bp), f32),             # xf
+        jax.ShapeDtypeStruct((6, Bp), f32),             # z (raw meas.)
         jax.ShapeDtypeStruct((N + 1, NX, Bp), f32),     # X_pred
         jax.ShapeDtypeStruct((N, NU, Bp), f32),         # U_pred
         jax.ShapeDtypeStruct((N + 1, NC, Bp), f32),     # s
@@ -749,10 +751,10 @@ def racestep(
     )(*ins)
 
     trim = lambda a: a[..., :B]
-    (xg, ekx, ekP, fr, xf, Xp, Up, s, lam, u0, stats) = map(trim, outs)
+    (xg, ekx, ekP, fr, xf, z, Xp, Up, s, lam, u0, stats) = map(trim, outs)
     new_carry = RaceMegaCarry(
         xg=xg, ekx=ekx, ekP=ekP, fr=fr, x_prev_f=xf,
         X_pred=Xp, U_pred=Up, s=s, lam=lam, u_prev=u0, rho=stats[3],
     )
     # diag rows: r_prim, r_dual, converged, rho_next, iters, mu_hat
-    return new_carry, u0, stats[:6]
+    return new_carry, u0, stats[:6], z

@@ -243,7 +243,7 @@ def sharded_race_sweep(
         run = make_racestep_scan(
             p_nom, cfg, scfg, track, table, T, mu_l, sig,
             interpret=interpret)
-        _, (Xg, Xf, U, mu_hat, conv) = run(carry0, key_l[0])
+        _, (Xg, Xf, U, mu_hat, conv, _z, _it, _r) = run(carry0, key_l[0])
         Xf_bf = jnp.moveaxis(Xf, -1, 0)          # (b_local, T, 6)
         mu_bf = jnp.moveaxis(mu_hat, -1, 0)      # (b_local, T)
         ey_rms = jnp.sqrt(jnp.mean(Xf_bf[..., 5] ** 2, axis=-1))

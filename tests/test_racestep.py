@@ -335,3 +335,37 @@ def test_sharded_race_sweep_matches_unsharded():
     assert float(metrics.n_scenarios) == B
     assert float(metrics.converged_frac) > 0.9
     assert len(mu_s.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_race_loop_mega_backend():
+    """race_loop(backend="mega"): the single-car composed race program —
+    replanning mode with mu-aware replans from the estimated state — runs
+    its segments on the racestep kernel and reproduces the XLA backend's
+    behavior (adaptation through the EKF, lap completion, corridor,
+    residual structure). Bitwise parity is not expected (different noise
+    key layout); the invariants are."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPPConfig
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import race_loop
+
+    track = oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    sigma = np.array([0.03, 0.01, 0.02, 0.01, 0.02, 0.01], np.float32)
+    log = race_loop(
+        P, MPCConfig(N=10, model="dynamic", tire="pacejka"),
+        SolverConfig(max_iter=60),
+        MPPConfig.for_model("dynamic", H=192, n_sqp=2),
+        track, x0, T=180, mu_true=0.6, mu0=1.0, replan_every=60,
+        noise_sigma=sigma, key=jax.random.PRNGKey(3), backend="mega",
+        interpret=True,
+    )
+    assert log.lap_steps.size >= 1
+    assert abs(float(log.mu_hat[-1]) - 0.6) < 0.15, log.mu_hat[-1]
+    assert np.abs(log.Xf[:, 5]).max() < 0.45
+    assert log.converged.mean() > 0.8
+    assert log.replan_steps.size >= 2
+    # mu-aware replans slowed the friction-limited corner speed
+    assert log.tables_vx[-1].min() < 0.9 * log.tables_vx[0].min()
+    # the raw-measurement channel is real (kernel z output, not a copy
+    # of the filtered state)
+    assert np.abs(log.Z - log.Xf).max() > 1e-3
