@@ -218,11 +218,11 @@ def race_loop(
     ``backend="mega"`` runs every segment on the COMPOSED racestep kernel
     (ops/racestep_kernel.py — one Pallas launch per step; PERF.md r5):
     same estimate -> adapt -> solve -> apply -> simulate semantics, host
-    Python still only at segment boundaries. Static obstacles only (the
-    kernel runner bakes the corridor blocks; the XLA backend handles
-    moving ``obstacles_fn``), and the sensor-noise stream is drawn
-    per-step from one key rather than the XLA path's per-lane key split,
-    so runs match the XLA backend behaviorally, not bitwise.
+    Python still only at segment boundaries, and moving ``obstacles_fn``
+    corridors update per segment as TRACED padded blocks (no re-tracing).
+    The sensor-noise stream is drawn per-step from one key rather than
+    the XLA path's per-lane key split, so runs match the XLA backend
+    behaviorally, not bitwise.
     """
     if cfg.model != "dynamic":
         raise ValueError("race_loop composes the friction estimator; it "
@@ -241,13 +241,13 @@ def race_loop(
 
         sig = (np.zeros(6, np.float32) if noise_sigma is None
                else np.asarray(noise_sigma, np.float32))
-        obs0 = obstacles_fn(0) if obstacles_fn is not None else None
+        has_obs = obstacles_fn is not None
         mega_runner = make_racestep_scan(
             p.replace(mu=jnp.asarray(mu0, f32)), cfg, scfg, track, None,
             replan_every, jnp.full((1,), mu_true, f32), sig,
             use_ekf=use_ekf, adapt_mu=adapt_mu, sim_tire=sim_tire,
-            n_sub=n_sub, ekf_q=ekf_q, obstacles=obs0, table_arg=True,
-            interpret=interpret)
+            n_sub=n_sub, ekf_q=ekf_q, table_arg=True,
+            obstacles_arg=has_obs, interpret=interpret)
         mcarry = racestep_init(p, cfg, track, jnp.asarray(x0, f32)[None],
                                mu0)
         segment = None
@@ -353,20 +353,14 @@ def race_loop(
     for i in range(n_segs):
         t = i * replan_every
         if use_mega:
-            if obstacles_fn is not None:
-                obs_now = obstacles_fn(t)
-                same = (obs_now is None) == (obs0 is None) and (
-                    obs_now is None
-                    or np.array_equal(np.asarray(obs_now, np.float32),
-                                      np.asarray(obs0, np.float32)))
-                if not same:
-                    raise NotImplementedError(
-                        "race_loop(backend='mega') supports STATIC "
-                        "obstacles only (the kernel runner bakes the "
-                        "corridor blocks); use the xla backend for "
-                        "moving obstacles_fn")
             key, kseg = jax.random.split(key)
-            mcarry, outs_bl = mega_runner(mcarry, kseg, table)
+            if has_obs:
+                # moving corridors: the padded blocks are a TRACED run
+                # arg, so per-segment obstacle updates never re-trace
+                mcarry, outs_bl = mega_runner(
+                    mcarry, kseg, table, padded_obstacles(t))
+            else:
+                mcarry, outs_bl = mega_runner(mcarry, kseg, table)
             xg_b, xf_b, u_b, mu_b, conv_b, z_b, it_b, rp_b = outs_bl
             sq = lambda a: jnp.moveaxis(a, -1, 0)[0]   # drop the B=1 lane
             outs = (sq(xg_b), sq(xf_b), sq(z_b), sq(u_b), mu_b[:, 0],
@@ -538,6 +532,7 @@ def make_racestep_scan(
     obstacles=None,
     interpret: bool = False,
     table_arg: bool = False,
+    obstacles_arg: bool = False,
 ):
     """Build the jitted T-step composed scan ``run(carry0, key)`` once.
 
@@ -550,12 +545,17 @@ def make_racestep_scan(
     outer learning loop can feed UPDATED (possibly per-lane, leaves
     (B, n)) tables without re-tracing — the kernel samples per-lane
     tables by plain one-hot (ops/racestep_kernel.py per_lane_refs).
+    ``obstacles_arg=True`` (with table_arg) additionally takes a padded
+    (n_rows, 4) corridor-block array per call —
+    ``run(carry0, key, table, blocks)`` — so MOVING obstacles update
+    between segments without re-tracing.
 
     The ``p`` params' mu row is the CONTROLLER seed mu0 (the scheduling
     mu whenever adapt_mu=False)."""
     return _make_racestep_scan_impl(
         p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
-        sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg)
+        sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
+        obstacles_arg)
 
 
 class MegaRaceLearnLog(NamedTuple):
@@ -681,6 +681,7 @@ def mega_race_learn(
 def _make_racestep_scan_impl(
     p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
     sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
+    obstacles_arg=False,
 ):
     from ..ops.megastep_kernel import megastep_params
     from ..ops.racestep_kernel import racestep
@@ -695,7 +696,7 @@ def _make_racestep_scan_impl(
     prm = megastep_params(p, B)
     s_idx = 4
 
-    if obstacles is not None:
+    if obstacles is not None or obstacles_arg:
         from ..engine.assembly import (
             block_curvatures,
             corridor_from_blocks,
@@ -703,12 +704,17 @@ def _make_racestep_scan_impl(
         )
         from ..track.track import wrap_s
 
-        blocks = jnp.asarray(obstacles, f32)
-        kb = block_curvatures(track, blocks)
         kc = steerable_curvature(p, cfg.bounds.delta_max)
         half = cfg.bounds.ey_max
+        static_blocks = (None if obstacles is None
+                         else jnp.asarray(obstacles, f32))
 
-        def eyb_from_sched(s_sched):
+        def eyb_from_sched(s_sched, blocks):
+            # `blocks` may be a TRACED padded (n_rows, 4) array (the
+            # obstacles_arg path: moving corridors without re-tracing) —
+            # block_curvatures/corridor_from_blocks are shape-static over
+            # the padded rows, so tracing is clean
+            kb = block_curvatures(track, blocks)
             sm = wrap_s(track, s_sched)
             lo = jnp.full(sm.shape, -half, f32)
             hi = jnp.full(sm.shape, half, f32)
@@ -717,8 +723,9 @@ def _make_racestep_scan_impl(
             return jnp.stack([lo, hi], axis=1)
     else:
         eyb_from_sched = None
+        static_blocks = None
 
-    def scan_body(carry, key, tbl):
+    def scan_body(carry, key, tbl, blocks=None):
         def step(c, _):
             car, kk = c
             kk, kn = jax.random.split(kk)
@@ -732,7 +739,9 @@ def _make_racestep_scan_impl(
                     car.X_pred[2:, s_idx],
                     car.X_pred[-1:, s_idx],
                 ], axis=0)
-                eyb = eyb_from_sched(s_sched)
+                eyb = eyb_from_sched(
+                    s_sched,
+                    blocks if blocks is not None else static_blocks)
             car2, u0, diag, z = racestep(
                 cfg, scfg, track, prm, tbl, car, noise, mu_true_b,
                 ekf_q, ekf_r, n_sub=n_sub, sim_tire=sim_tire,
@@ -746,8 +755,10 @@ def _make_racestep_scan_impl(
         (carry, _), outs = jax.lax.scan(step, (carry, key), None, length=T)
         return carry, outs
 
-    if table_arg:
+    if table_arg and obstacles_arg:
         return jax.jit(scan_body)
+    if table_arg:
+        return jax.jit(lambda carry, key, tbl: scan_body(carry, key, tbl))
     return jax.jit(lambda carry, key: scan_body(carry, key, table))
 
 

@@ -369,3 +369,43 @@ def test_race_loop_mega_backend():
     # the raw-measurement channel is real (kernel z output, not a copy
     # of the filtered state)
     assert np.abs(log.Z - log.Xf).max() > 1e-3
+
+
+@pytest.mark.slow
+def test_race_loop_mega_moving_obstacle():
+    """Moving obstacles on the mega race path: the corridor blocks are a
+    TRACED run argument, so a block that relocates between segments
+    updates planner AND tracker corridors without re-tracing the kernel
+    runner. The car must avoid the block at BOTH positions."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.core import MPPConfig
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import race_loop
+
+    track = oval_track()
+    x0 = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+    def blocks_at(t):
+        # the block hops from the corner band to the back straight span
+        if t < 120:
+            return np.array([[4.0, 5.0, -0.4, 0.1]], np.float32)
+        return np.array([[5.6, 6.6, -0.4, 0.1]], np.float32)
+
+    log = race_loop(
+        P, MPCConfig(N=10, model="dynamic", tire="pacejka"),
+        SolverConfig(max_iter=60),
+        MPPConfig.for_model("dynamic", H=192, n_sqp=2),
+        track, x0, T=300, mu_true=0.8, mu0=1.0, replan_every=60,
+        noise_sigma=None, key=jax.random.PRNGKey(5), backend="mega",
+        interpret=True, obstacles_fn=blocks_at, mu_plan0=0.6,
+    )
+    s_unw = np.asarray(log.Xf[:, 4])
+    sm = s_unw % float(track.length)
+    ey = np.asarray(log.Xf[:, 5])
+    steps = np.arange(len(sm))
+    # passes through the SECOND position after the hop must clear it
+    in_b2 = (sm >= 5.7) & (sm <= 6.5) & (steps >= 120)
+    assert in_b2.any()
+    assert ey[in_b2].min() > 0.02, ey[in_b2]
+    # the car kept racing and adapting through the relocation
+    assert s_unw[-1] > 1.5 * float(track.length)
+    assert abs(float(log.mu_hat[-1]) - 0.8) < 0.2
+    assert np.asarray(log.converged).mean() > 0.7
