@@ -544,7 +544,8 @@ def race_sweep(p: VehicleParams, scfg: SolverConfig, batch: int = 1024,
     return {
         "preset": "race_sweep",
         "backend": backend,
-        "batch": batch,
+        "wall_includes_compile": True,   # steady-state protocol:
+        "batch": batch,                  # tools/racebench.py
         "composed_steps": batch * T,
         "wall_s": round(wall, 1),
         "steps_per_s": round(batch * T / wall, 1),

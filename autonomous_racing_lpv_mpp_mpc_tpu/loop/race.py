@@ -284,7 +284,10 @@ def race_loop(
         return (float(mcarry.fr[0, 0]) if use_mega
                 else float(carry.fric.mu))
 
-    first_plan_mu = [mu_plan0]   # consumed by the t=0 plan, then cleared
+    # consumed by the FIRST plan only (and only when race_loop itself
+    # makes it — a caller-provided table0 is that caller's first plan,
+    # so the first REPLAN must already use the live mu-hat)
+    first_plan_mu = [mu_plan0 if table0 is None else None]
 
     def plan_now(t: int, x_state) -> RefTable:
         obs = _obstacles_at(obstacles_fn, t, max_obstacle_rows)
@@ -427,22 +430,12 @@ def race_loop(
     )
 
 
-def _obstacles_at(obstacles_fn, t: int, max_rows: int, lead: float = 0.0):
+def _obstacles_at(obstacles_fn, t: int, max_rows: int):
     if obstacles_fn is None:
         return None
     obs = obstacles_fn(t)
     if obs is None:
         return None
-    obs = np.asarray(obs, np.float32)
-    if lead > 0.0 and obs.size:
-        # extend each block's span backward so the corridor (and its side
-        # choice) binds BEFORE the block — corridor_from_blocks matches
-        # sm in [s0, s1], so a negative s0 simply keeps matching from
-        # s = 0 (the wrap-around tail of a lead crossing the start line
-        # is dropped; blocks this close to the line should be specified
-        # in wrapped coordinates by the caller).
-        obs = obs.copy()
-        obs[:, 0] = obs[:, 0] - lead
     from ..planner.opponents import pad_blocks
 
     return jnp.asarray(pad_blocks(obs, max_rows))

@@ -135,7 +135,7 @@ def _racestep_kernel(
     use_ekf: bool, adapt_mu: bool,
     forgetting: float, min_sensitivity: float, win_cells: int,
     fd_eps: float, has_eyb: bool,
-    use_table_refs: bool = False, n_ref: int = 0, ref_probe: float = 0.15,
+    use_table_refs: bool = False, n_ref: int = 0,
     per_lane_refs: bool = False, ref_single_level: bool = False,
 ):
     f32 = jnp.float32
