@@ -526,6 +526,7 @@ def make_racestep_scan(
     interpret: bool = False,
     table_arg: bool = False,
     obstacles_arg: bool = False,
+    gate_sigma: float = 0.0,     # >0: EKF innovation gating (HIL parity)
 ):
     """Build the jitted T-step composed scan ``run(carry0, key)`` once.
 
@@ -548,7 +549,7 @@ def make_racestep_scan(
     return _make_racestep_scan_impl(
         p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
         sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
-        obstacles_arg)
+        obstacles_arg, gate_sigma)
 
 
 class MegaRaceLearnLog(NamedTuple):
@@ -674,7 +675,7 @@ def mega_race_learn(
 def _make_racestep_scan_impl(
     p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
     sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
-    obstacles_arg=False,
+    obstacles_arg=False, gate_sigma=0.0,
 ):
     from ..ops.megastep_kernel import megastep_params
     from ..ops.racestep_kernel import racestep
@@ -738,7 +739,8 @@ def _make_racestep_scan_impl(
             car2, u0, diag, z = racestep(
                 cfg, scfg, track, prm, tbl, car, noise, mu_true_b,
                 ekf_q, ekf_r, n_sub=n_sub, sim_tire=sim_tire,
-                use_ekf=use_ekf, adapt_mu=adapt_mu, interpret=interpret,
+                use_ekf=use_ekf, adapt_mu=adapt_mu,
+                gate_sigma=gate_sigma, interpret=interpret,
                 eyb=eyb,
             )
             out = (car2.xg, car2.x_prev_f, u0, diag[5], diag[2], z,

@@ -132,7 +132,7 @@ def _racestep_kernel(
     a_min: float, a_max: float, ddelta_max: float, da_max: float,
     kappa_speed_cap: bool, a_lat_frac: float,
     squarings: int, order: int, unroll_sweeps: bool, unroll_iters: bool,
-    use_ekf: bool, adapt_mu: bool,
+    use_ekf: bool, adapt_mu: bool, gate_sigma: float,
     forgetting: float, min_sensitivity: float, win_cells: int,
     fd_eps: float, has_eyb: bool,
     use_table_refs: bool = False, n_ref: int = 0,
@@ -267,11 +267,21 @@ def _racestep_kernel(
         Qd = ekq_ref[...]                                  # (6, 1)
         Pp = _mm(F, _mm(P, jnp.swapaxes(F, 0, 1)))
         Pp = Pp + I6 * Qd[:, :, None] * jnp.ones((1, 1, B), f32)
-        Rd = ekr_ref[...]
-        S = Pp + I6 * Rd[:, :, None] * jnp.ones((1, 1, B), f32)
+        Rd_b = ekr_ref[...] * jnp.ones((6, B), f32)        # (6, B)
+        nu = z - x_e
+        if gate_sigma > 0.0:
+            # per-channel innovation gating (loop/estimator.py gate_sigma
+            # semantics, diagonal-R form): a channel whose innovation
+            # exceeds gate*sqrt(S0_ii) has its R inflated so it barely
+            # updates this cycle — one-frame sensor glitches stay
+            # one-frame instead of being smeared by the filter
+            Pp_diag = jnp.stack([Pp[j, j] for j in range(6)])   # (6, B)
+            S0d = Pp_diag + Rd_b
+            outlier = jnp.abs(nu) > gate_sigma * jnp.sqrt(S0d)
+            Rd_b = Rd_b + jnp.where(outlier, 1e6 * S0d, 0.0)
+        S = Pp + I6 * Rd_b[:, None, :]
         Sinv = _inv6(S, row6)
         K = _mm(Pp, Sinv)
-        nu = z - x_e
         xf = x_e + _mv(K, nu)
         Pn = _mm(I6 - K, Pp)
         Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
@@ -558,6 +568,7 @@ def racestep(
     sim_tire: str | None = None,
     use_ekf: bool = True,
     adapt_mu: bool = True,
+    gate_sigma: float = 0.0,     # >0: per-channel innovation gating
     forgetting: float = 0.995,
     min_sensitivity: float = 0.05,
     window_m: float = 3.0,
@@ -671,6 +682,7 @@ def racestep(
         squarings=4, order=6,
         unroll_sweeps=unroll_sweeps, unroll_iters=False,
         use_ekf=use_ekf, adapt_mu=adapt_mu,
+        gate_sigma=float(gate_sigma),
         forgetting=float(forgetting),
         min_sensitivity=float(min_sensitivity),
         win_cells=win_cells, fd_eps=3e-3, has_eyb=has_eyb,

@@ -409,3 +409,49 @@ def test_race_loop_mega_moving_obstacle():
     assert s_unw[-1] > 1.5 * float(track.length)
     assert abs(float(log.mu_hat[-1]) - 0.8) < 0.2
     assert np.asarray(log.converged).mean() > 0.7
+
+
+def test_racestep_ekf_innovation_gating():
+    """gate_sigma parity with loop/estimator.py: a one-frame glitch on a
+    measurement channel barely moves the gated filter (its R is inflated
+    for that cycle) while the ungated filter jumps toward the spike."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+        megastep_params,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.racestep_kernel import (
+        racestep,
+        racestep_init,
+    )
+
+    track, table, _mu, _x0 = _sweep_inputs(B=1)
+    x0 = jnp.zeros((1, 6), jnp.float32).at[:, 0].set(1.2).at[:, 4].set(2.0)
+    p_nom = P.replace(mu=jnp.asarray(0.9, jnp.float32))
+    prm = megastep_params(p_nom, 1)
+    carry = racestep_init(P, cfg := CFG, track, x0, 0.9)
+    ekq = np.asarray([1e-3, 1e-3, 5e-3, 1e-4, 1e-4, 1e-4], np.float32)
+    ekr = np.full(6, 1e-4, np.float32)
+    mu_b = jnp.full((1,), 0.9, jnp.float32)
+    clean = jnp.zeros((6, 1), jnp.float32)
+    # a one-frame camera glitch: +0.3 m on the e_y channel
+    spike = clean.at[5, 0].set(0.3)
+
+    def settle_then_spike(gate):
+        # settle the covariance with clean measurements first — at the
+        # cold-start P0 the innovation threshold gate*sqrt(S0) exceeds the
+        # spike, so (correctly, same as the XLA gate) nothing would fire
+        car = carry
+        step = jax.jit(lambda c, n: racestep(
+            cfg, SCFG, track, prm, table, c, n, mu_b, ekq, ekr,
+            gate_sigma=gate, interpret=True))
+        for _ in range(20):
+            car, _u0, _diag, _z = step(car, clean)
+        ey_before = float(car.x_prev_f[5, 0])
+        car, _u0, _diag, _z = step(car, spike)
+        return float(car.x_prev_f[5, 0]) - ey_before
+
+    d_ungated = settle_then_spike(0.0)
+    d_gated = settle_then_spike(3.0)
+    # the ungated filter jumps toward the spike; the gated one barely
+    # moves on that cycle
+    assert abs(d_ungated) > 0.1, d_ungated
+    assert abs(d_gated) < 0.03, d_gated
