@@ -672,6 +672,96 @@ def mega_race_learn(
     )
 
 
+def checkpointed_race_sweep(
+    p: VehicleParams,
+    cfg: MPCConfig,
+    scfg: SolverConfig,
+    track: Track,
+    table: RefTable,
+    x0_b: jnp.ndarray,           # (B, 6) initial TRUE states, Frenet
+    T: int,
+    mu_true_b: jnp.ndarray,      # (B,) per-lane plant friction
+    checkpoint_dir: str,
+    save_every: int = 50,
+    mu0: float = 1.0,
+    noise_sigma=None,
+    key=None,
+    interpret: bool = False,
+):
+    """Resumable COMPOSED sweep on the racestep kernel (SURVEY §5
+    "Checkpoint / resume" applied to the r5 flagship): ``T`` composed
+    steps in ``save_every``-step chunks; after each chunk the full sweep
+    state (the RaceMegaCarry — truth, EKF mean/covariance, RLS state,
+    tracker warm start — plus the PRNG key and metric accumulators) is
+    orbax-saved, and a restart latest-resumes to a final state IDENTICAL
+    to an uninterrupted run (the chunk runner and key stream align, so
+    resume equality is bitwise — pinned in tests/test_racestep.py).
+
+    Single-process scope (the per-chip flagship scale: 32k concurrent
+    composed cars fit one chip, PERF.md r5); pod sweeps wrap the same
+    chunk runner in ``parallel/scenarios.py::sharded_race_sweep``'s
+    shard_map. Returns (metrics dict, steps_run_this_call).
+    """
+    from ..ops.racestep_kernel import racestep_init
+    from ..utils.record import SweepCheckpoint
+
+    if T % save_every != 0:
+        raise ValueError(
+            f"T={T} must be a multiple of save_every={save_every}")
+    f32 = jnp.float32
+    B = x0_b.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sig = (np.zeros(6, np.float32) if noise_sigma is None
+           else np.asarray(noise_sigma, np.float32))
+    p_nom = p.replace(mu=jnp.asarray(mu0, f32))
+    run = make_racestep_scan(p_nom, cfg, scfg, track, table, save_every,
+                             jnp.asarray(mu_true_b, f32), sig,
+                             interpret=interpret)
+
+    @jax.jit
+    def chunk(carry, k, acc):
+        k, kc = jax.random.split(k)
+        carry, (_Xg, Xf, _U, _mu, conv, _z, _it, _r) = run(carry, kc)
+        acc = {
+            "conv": acc["conv"] + jnp.sum(conv, axis=0),        # (B,)
+            "ey_sq": acc["ey_sq"] + jnp.sum(Xf[:, 5, :] ** 2, axis=0),
+        }
+        return carry, k, acc
+
+    ckpt = SweepCheckpoint(checkpoint_dir)
+    zeros = jnp.zeros((B,), f32)
+    state = {
+        "carry": racestep_init(p, cfg, track, x0_b, mu0)._asdict(),
+        "key": key,
+        "acc": {"conv": zeros, "ey_sq": zeros},
+    }
+    step = 0
+    if ckpt.latest_step() is not None:
+        step, state = ckpt.restore(state)
+    step0 = step
+
+    from ..ops.racestep_kernel import RaceMegaCarry
+
+    while step < T:
+        carry, k, acc = chunk(RaceMegaCarry(**state["carry"]),
+                              state["key"], state["acc"])
+        state = {"carry": carry._asdict(), "key": k, "acc": acc}
+        step += save_every
+        ckpt.save(step, state)
+
+    carry = RaceMegaCarry(**state["carry"])
+    metrics = {
+        "n_scenarios": float(B),
+        "converged_frac": float(jnp.mean(state["acc"]["conv"]) / T),
+        "ey_rms": float(jnp.mean(
+            jnp.sqrt(state["acc"]["ey_sq"] / T))),
+        "mu_hat_mean": float(jnp.mean(carry.fr[0])),
+        "mean_progress": float(jnp.mean(carry.ekx[4])),
+    }
+    return metrics, step - step0
+
+
 def _make_racestep_scan_impl(
     p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
     sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,

@@ -455,3 +455,39 @@ def test_racestep_ekf_innovation_gating():
     # moves on that cycle
     assert abs(d_ungated) > 0.1, d_ungated
     assert abs(d_gated) < 0.03, d_gated
+
+
+def test_checkpointed_race_sweep_kill_and_resume(tmp_path):
+    """Checkpoint/resume for the COMPOSED flagship (SURVEY §5): a sweep
+    killed after 2 of 3 chunks and latest-resumed must finish with
+    metrics IDENTICAL to an uninterrupted run (the chunk runner and the
+    saved key stream align, so the equality is exact)."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.race import (
+        checkpointed_race_sweep,
+    )
+
+    track, table, mu_b, x0 = _sweep_inputs()
+    sigma = np.array([0.03, 0.01, 0.02, 0.01, 0.02, 0.01], np.float32)
+    kw = dict(T=30, mu_true_b=mu_b, save_every=10, mu0=0.8,
+              noise_sigma=sigma, key=jax.random.PRNGKey(4), interpret=True)
+
+    m_ref, n = checkpointed_race_sweep(
+        P, CFG, SCFG, track, table, x0,
+        checkpoint_dir=str(tmp_path / "ref"), **kw)
+    assert n == 30
+
+    # "killed" run: only 2 chunks
+    kw_kill = dict(kw, T=20)
+    m_part, n = checkpointed_race_sweep(
+        P, CFG, SCFG, track, table, x0,
+        checkpoint_dir=str(tmp_path / "kill"), **kw_kill)
+    assert n == 20
+
+    # resume: only the remaining chunk executes, final metrics identical
+    m_res, n = checkpointed_race_sweep(
+        P, CFG, SCFG, track, table, x0,
+        checkpoint_dir=str(tmp_path / "kill"), **kw)
+    assert n == 10
+    for k in m_ref:
+        assert m_res[k] == m_ref[k], (k, m_res[k], m_ref[k])
+    assert m_ref["converged_frac"] > 0.9
