@@ -527,6 +527,7 @@ def make_racestep_scan(
     table_arg: bool = False,
     obstacles_arg: bool = False,
     gate_sigma: float = 0.0,     # >0: EKF innovation gating (HIL parity)
+    n_sub_ekf: int = 4,          # EKF predict substeps (racestep default)
 ):
     """Build the jitted T-step composed scan ``run(carry0, key)`` once.
 
@@ -549,7 +550,7 @@ def make_racestep_scan(
     return _make_racestep_scan_impl(
         p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
         sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
-        obstacles_arg, gate_sigma)
+        obstacles_arg, gate_sigma, n_sub_ekf)
 
 
 class MegaRaceLearnLog(NamedTuple):
@@ -765,7 +766,7 @@ def checkpointed_race_sweep(
 def _make_racestep_scan_impl(
     p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
     sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
-    obstacles_arg=False, gate_sigma=0.0,
+    obstacles_arg=False, gate_sigma=0.0, n_sub_ekf=4,
 ):
     from ..ops.megastep_kernel import megastep_params
     from ..ops.racestep_kernel import racestep
@@ -828,7 +829,8 @@ def _make_racestep_scan_impl(
                     blocks if blocks is not None else static_blocks)
             car2, u0, diag, z = racestep(
                 cfg, scfg, track, prm, tbl, car, noise, mu_true_b,
-                ekf_q, ekf_r, n_sub=n_sub, sim_tire=sim_tire,
+                ekf_q, ekf_r, n_sub=n_sub, n_sub_ekf=n_sub_ekf,
+                sim_tire=sim_tire,
                 use_ekf=use_ekf, adapt_mu=adapt_mu,
                 gate_sigma=gate_sigma, interpret=interpret,
                 eyb=eyb,

@@ -187,19 +187,42 @@ def _racestep_kernel(
     BIG = jnp.float32(1e30)
     d2_best = jnp.full((B,), BIG, f32)
     id_best = jnp.zeros((B,), f32)
-    djs = [0] if n_chunks == 1 else ([0, 1] if n_chunks == 2 else [-1, 0, 1])
-    for dj in djs:
-        jj = (j_hint + dj + n_chunks) % n_chunks          # (B,)
+    n_chunks0 = -(-n_cells // C)
+    if n_chunks0 <= 2:
+        # tiny table: the (unextended) chunks cover everything
+        jjs = [(j_hint + dj) % n_chunks0 for dj in range(n_chunks0)]
+    else:
+        # TWO dynamically-chosen chunks instead of the static {-1, 0, +1}
+        # triple (r5): the pose tables carry a C-cell REPLICATED HEAD
+        # (_pose_table_inputs), so the C consecutive extended-table cells
+        # starting at (i_hint - C/2) mod n_cells NEVER wrap — they span at
+        # most two aligned chunks, and those two chunks give a guaranteed
+        # +-C/2-cell candidate window (1.28 m on the racetrack table)
+        # around the hint regardless of the track-end seam. The hint
+        # error this window guards is centimeters (the EKF's s between
+        # 30 Hz frames), and the static triple was already a truncation
+        # of the nominal +-win_cells mask; this drops one of the three
+        # chunk fetches (~1/3 of the measurement-search work).
+        w_start = i_hint - C // 2
+        w_start = jnp.where(w_start < 0, w_start + n_cells, w_start)
+        jjs = [w_start // C, (w_start + (C - 1)) // C]
+    for jj in jjs:
         ohj = (row_chunk == jj[None, :]).astype(f32)
         Xc = jax.lax.dot_general(xtab, ohj, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)   # (C, B)
         Yc = jax.lax.dot_general(ytab, ohj, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
-        ids = jj[None, :] * C + off                        # (C, B)
+        ids_ext = jj[None, :] * C + off                    # (C, B)
+        # replicated-head cells alias their canonical ids; cells past the
+        # replica region are layout padding (invalid)
+        in_rep = ids_ext >= n_cells
+        ids = jnp.where(in_rep, ids_ext - n_cells, ids_ext)
         d_cells = ids - i_hint[None, :]
         d_cells = jnp.where(d_cells < 0, d_cells + n_cells, d_cells)
         dwrap = jnp.minimum(d_cells, n_cells - d_cells)
-        valid = jnp.logical_and(ids < n_cells, dwrap <= win_cells)
+        valid = jnp.logical_and(ids_ext < n_cells + (0 if n_chunks0 <= 2
+                                                     else C),
+                                dwrap <= win_cells)
         d2 = (Xw[None, :] - Xc) ** 2 + (Yw[None, :] - Yc) ** 2
         d2 = jnp.where(valid, d2, BIG)
         m = jnp.min(d2, axis=0)                            # (B,)
@@ -210,16 +233,20 @@ def _racestep_kernel(
         id_best = jnp.where(take, idm, id_best)
     i_star = id_best.astype(jnp.int32)
 
-    def fetch(tab_ref, idx):
-        ohc = (row_chunk == (idx // C)[None, :]).astype(f32)
-        sel = jax.lax.dot_general(tab_ref[...], ohc, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
-        ohw = (off == (idx % C)[None, :]).astype(f32)
-        return (sel * ohw).sum(axis=0)
+    # one (chunk, within-chunk) one-hot pair shared by all three pose
+    # channels (same index) — the same sharing trick as the ref tables
+    ohc_star = (row_chunk == (i_star // C)[None, :]).astype(f32)
+    ohw_star = (off == (i_star % C)[None, :]).astype(f32)
 
-    Xi = fetch(xtab_ref, i_star)
-    Yi = fetch(ytab_ref, i_star)
-    Pi = fetch(ptab_ref, i_star)
+    def fetch(tab_ref):
+        sel = jax.lax.dot_general(tab_ref[...], ohc_star,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        return (sel * ohw_star).sum(axis=0)
+
+    Xi = fetch(xtab_ref)
+    Yi = fetch(ytab_ref)
+    Pi = fetch(ptab_ref)
     tx, ty = jnp.cos(Pi), jnp.sin(Pi)
     ddx = Xw - Xi
     ddy = Yw - Yi
@@ -509,13 +536,23 @@ def _ref_table_inputs(table, probe: float = 0.15):
 def _pose_table_inputs(track: Track):
     """Centerline pose tables as kernel operands, (n_chunks, 128) each
     (same chunk layout as the curvature table; node rows [0, n) =
-    track.X[:-1] etc., matching global_to_frenet's candidate set)."""
+    track.X[:-1] etc., matching global_to_frenet's candidate set).
+
+    Tables longer than two chunks carry a C-cell REPLICATED HEAD (cells
+    [n, n+C) repeat cells [0, C)): the measurement window's C consecutive
+    cells starting at (i_hint - C/2) mod n then never wrap the track-end
+    seam in table space, so they span at most TWO aligned chunks — the
+    dynamic two-chunk fetch in the kernel is seam-free by construction."""
     C = 128
     n = track.kappa.shape[0]
-    n_pad = -(-n // C) * C
+    ext = C if -(-n // C) > 2 else 0
+    n_pad = -(-(n + ext) // C) * C
 
     def chunked(a):
-        a = jnp.concatenate([a[:n], jnp.zeros((n_pad - n,), jnp.float32)])
+        a = a[:n]
+        if ext:
+            a = jnp.concatenate([a, a[:C]])
+        a = jnp.concatenate([a, jnp.zeros((n_pad - n - ext,), jnp.float32)])
         return a.reshape(n_pad // C, C)
 
     return chunked(track.X), chunked(track.Y), chunked(track.psi)

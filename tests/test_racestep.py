@@ -491,3 +491,69 @@ def test_checkpointed_race_sweep_kill_and_resume(tmp_path):
     for k in m_ref:
         assert m_res[k] == m_ref[k], (k, m_res[k], m_ref[k])
     assert m_ref["converged_frac"] > 0.9
+
+
+def test_racestep_measurement_matches_windowed_transform():
+    """The in-kernel measurement stage (dynamic two-chunk candidate window,
+    r5) must reproduce track.global_to_frenet_windowed at every position
+    inside a chunk — including lanes whose hint cell sits AT a 128-cell
+    chunk boundary, where the dynamically-chosen neighbor chunk does the
+    work — with the hint deliberately offset ~0.25 m behind the truth."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.megastep_kernel import (
+        megastep_params,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.racestep_kernel import (
+        racestep,
+        racestep_init,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+    from autonomous_racing_lpv_mpp_mpc_tpu.track.track import (
+        global_to_frenet_windowed,
+        wrap_s,
+    )
+
+    track = racetrack()                      # 1,590 cells = 13 chunks
+    ds = float(track.ds)
+    C = 128
+    # hit chunk offsets 0, 1, 63, 64, 127 in several chunks, plus
+    # fractional in-cell positions; alternate e_y sides and headings
+    offs = [0, 1, 63, 64, 127]
+    cells = [j * C + o for j in (0, 3, 7, 12) for o in offs]
+    n_cells = track.kappa.shape[0]
+    s_true = jnp.asarray(
+        [(c % n_cells) * ds + 0.4 * ds for c in cells], jnp.float32)
+    B = s_true.shape[0]
+    ey = jnp.asarray([(-0.1 if i % 2 else 0.15) for i in range(B)],
+                     jnp.float32)
+    epsi = jnp.asarray([(0.05 if i % 3 else -0.08) for i in range(B)],
+                       jnp.float32)
+    x0 = jnp.zeros((B, 6), jnp.float32)
+    x0 = x0.at[:, 0].set(1.2).at[:, 4].set(s_true).at[:, 5].set(ey)
+    x0 = x0.at[:, 3].set(epsi)
+
+    cfg = MPCConfig(N=8, model="dynamic", tire="pacejka")
+    scfg = SolverConfig(max_iter=4)
+    p = VehicleParams()
+    carry = racestep_init(p, cfg, track, x0, 0.8)
+    # hint 0.25 m behind the truth (a healthy closed loop is within cm)
+    carry = carry._replace(ekx=carry.ekx.at[4].add(-0.25))
+    prm = megastep_params(p, B)
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop import constant_refs
+
+    _, _, _, z = racestep(
+        cfg, scfg, track, prm, constant_refs(cfg, 1.2), carry,
+        jnp.zeros((6, B), jnp.float32), jnp.full((B,), 0.8, jnp.float32),
+        np.full(6, 1e-4, np.float32), np.full(6, 1e-4, np.float32),
+        use_ekf=False, adapt_mu=False, interpret=True,
+    )
+    Xw, Yw, psiw = np.asarray(carry.xg[3]), np.asarray(carry.xg[4]), \
+        np.asarray(carry.xg[5])
+    for i in range(B):
+        s_ref, ey_ref, ep_ref = global_to_frenet_windowed(
+            track, jnp.float32(Xw[i]), jnp.float32(Yw[i]),
+            jnp.float32(psiw[i]), carry.ekx[4][i])
+        s_k = wrap_s(track, z[4, i])
+        np.testing.assert_allclose(float(s_k), float(s_ref), atol=2e-5,
+                                   err_msg=f"lane {i} (cell {cells[i]})")
+        np.testing.assert_allclose(float(z[5, i]), float(ey_ref), atol=2e-5)
+        np.testing.assert_allclose(float(z[3, i]), float(ep_ref), atol=2e-5)
