@@ -169,6 +169,7 @@ def _mpc_core(
     cache_out=None,   # matching 6-tuple of cache output refs
     cache_drift_tol: float = 0.02,
     cache_max_age: int = 8,
+    probe: str = "",  # COST-ATTRIBUTION ONLY: drop one fixed stage
 ):
     """The in-kernel receding-horizon MPC step (megastep sections 1-8):
     schedule shift -> bounds -> LPV+Van Loan build -> Riccati factor ->
@@ -182,6 +183,17 @@ def _mpc_core(
     missing #2): per-stage (lo, hi) e_y bounds — the engine/assembly.py::
     corridor_from_blocks output, computed host-side from the scheduled s —
     override the static +-ey_max row before the stage-0/terminal disables.
+
+    ``probe`` is the fixed-part cost-attribution instrument (ROADMAP r6
+    #3; the per-stage analog of tools/racecost.py's statics toggles): a
+    non-empty value drops exactly one fixed stage — ``"lookups"`` (the
+    N+1 per-stage curvature fetches), ``"build"`` (LPV + Van Loan),
+    ``"q0"`` (linear cost rows), ``"warm"`` (ADMM warm-start shift),
+    ``"factor"`` (the Riccati factorization sweep) — leaving scratch/
+    outputs GARBAGE downstream of the dropped stage. Timing stays valid
+    because every remaining op is branch-free with static shapes (use
+    fixed-count, early_exit=False protocols); the RESULTS are meaningless
+    for any non-empty probe. tools/fixedcost.py drives it.
     Returns u0 (NU, B)."""
     f32 = jnp.float32
     nx, _na = model_dims(model)
@@ -210,7 +222,10 @@ def _mpc_core(
     hi_np = [vx_max, ey_max, delta_max, a_max, ddelta_max, da_max]
 
     def bnd(k, _):
-        kapk = kap_at(Xs_s[k][s_idx])
+        if probe == "lookups":
+            kapk = jnp.zeros((B,), f32)
+        else:
+            kapk = kap_at(Xs_s[k][s_idx])
         kap_s[k] = kapk
         if kappa_speed_cap:
             cap = jnp.sqrt(
@@ -265,8 +280,10 @@ def _mpc_core(
         return 0
 
     def build_stage(k, _):
-        build_ab(k)
-        build_q0(k, 0)
+        if probe != "build":
+            build_ab(k)
+        if probe != "q0":
+            build_q0(k, 0)
         return 0
 
     if cache_in is None:
@@ -343,11 +360,13 @@ def _mpc_core(
         Ac_out[...] = A_s[...]
         Bc_out[...] = B_s[...]
         jax.lax.fori_loop(0, N, build_q0, 0)
-    xrN = xref_ref[N]
-    xrN = jnp.concatenate(
-        [jnp.minimum(xrN[0], ub_s[N, 0])[None], xrN[1:]], axis=0
-    )
-    q0_s[N] = jnp.concatenate([-(qw_arr * xrN), jnp.zeros((NU, B), f32)], axis=0)
+    if probe != "q0":
+        xrN = xref_ref[N]
+        xrN = jnp.concatenate(
+            [jnp.minimum(xrN[0], ub_s[N, 0])[None], xrN[1:]], axis=0
+        )
+        q0_s[N] = jnp.concatenate(
+            [-(qw_arr * xrN), jnp.zeros((NU, B), f32)], axis=0)
 
     # ---- 4. warm start: shift previous ADMM variables one stage ----
     def shw(k, _):
@@ -355,7 +374,8 @@ def _mpc_core(
         s_out[k] = jnp.clip(sw_ref[kk], lb_s[k], ub_s[k])
         lam_out[k] = lamw_ref[kk]
         return 0
-    jax.lax.fori_loop(0, N + 1, shw, 0)
+    if probe != "warm":
+        jax.lax.fori_loop(0, N + 1, shw, 0)
 
     # ---- 5. folded cost + Riccati factorization (ops/fused_kernel.py) ----
     c1 = lambda a: a[:, :, None]
@@ -380,12 +400,13 @@ def _mpc_core(
         Vn = Qf + _mtm(Ak, VA) + _mtm(Hux, K)
         return 0.5 * (Vn + jnp.swapaxes(Vn, 0, 1))
 
-    if unroll_sweeps:
-        Vf = Qf_term
-        for i in range(N):
-            Vf = factor_step(i, Vf)
-    else:
-        jax.lax.fori_loop(0, N, factor_step, Qf_term)
+    if probe != "factor":
+        if unroll_sweeps:
+            Vf = Qf_term
+            for i in range(N):
+                Vf = factor_step(i, Vf)
+        else:
+            jax.lax.fori_loop(0, N, factor_step, Qf_term)
 
     # ---- 6. ADMM iterations ----
     def ctv(D, y):
@@ -629,6 +650,7 @@ def _megastep_kernel(
     unroll_iters: bool = False, model: str = "dynamic",
     has_eyb: bool = False, cache_build: bool = False,
     cache_drift_tol: float = 0.02, cache_max_age: int = 8,
+    probe: str = "",
 ):
     s_idx, _ey_idx = model_s_ey(model)
     if has_eyb:
@@ -669,6 +691,7 @@ def _megastep_kernel(
         unroll_iters=unroll_iters, model=model, eyb_ref=eyb_ref,
         cache_in=cache_in, cache_out=cache_out,
         cache_drift_tol=cache_drift_tol, cache_max_age=cache_max_age,
+        probe=probe,
     )
 
     # ---- 9. plant: fine Euler sub-steps (loop/closed_loop.py::plant_step) --
@@ -678,7 +701,10 @@ def _megastep_kernel(
         return xc + h * f_model_bl(model, pv, xc, u0, kap_at(xc[s_idx]),
                                    sim_tire)
 
-    xn_out[...] = jax.lax.fori_loop(0, n_sub, sub, x_now)
+    if probe == "plant":
+        xn_out[...] = x_now
+    else:
+        xn_out[...] = jax.lax.fori_loop(0, n_sub, sub, x_now)
 
 
 class MegaCache(NamedTuple):
@@ -805,6 +831,9 @@ def megastep(
     order: int = 6,
     eyb=None,                  # optional (N+1, 2, B) e_y corridor (lo, hi)
     cache: MegaCache | None = None,   # scfg.cache_build discretization cache
+    probe: str = "",           # cost-attribution: drop ONE fixed stage
+                               # (lookups/build/q0/warm/factor/plant);
+                               # outputs are GARBAGE — timing only
 ):
     """One full closed-loop step for every scenario, in one kernel launch.
 
@@ -883,7 +912,10 @@ def megastep(
         cache_build=cache_build,
         cache_drift_tol=float(scfg.cache_drift_tol),
         cache_max_age=int(scfg.cache_max_age),
+        probe=probe,
     )
+    assert not (probe and cache_build), \
+        "probe is a timing instrument; it does not compose with cache_build"
 
     out_shapes = (
         jax.ShapeDtypeStruct((NX, Bp), f32),            # x_next
