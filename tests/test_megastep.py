@@ -382,3 +382,29 @@ def test_megastep_km_scale_track():
     )
     np.testing.assert_allclose(u_m, u_ref, atol=2e-4, rtol=0)
     np.testing.assert_allclose(x_hist_m, x_hist_ref, atol=5e-4, rtol=0)
+
+
+def test_megastep_probe_statics_run_and_default_is_identity():
+    """The fixed-part cost-attribution probes (ops/megastep_kernel.py
+    `probe=`, driven by tools/fixedcost.py) must keep compiling: each probe
+    drops one fixed stage and returns GARBAGE results but well-formed
+    shapes; probe='' must be the exact default program."""
+    p, p_b, cfg, track, x_ref, x0 = _setup()
+    scfg = SolverConfig(max_iter=0, early_exit=False)
+    prm = megastep_params(p_b, B)
+    carry0 = megastep_init(p_b, cfg, track, x0)
+
+    c_def, u_def, d_def = megastep(cfg, scfg, track, prm, x_ref, carry0,
+                                   n_sub=4, interpret=True)
+    c_emp, u_emp, d_emp = megastep(cfg, scfg, track, prm, x_ref, carry0,
+                                   n_sub=4, interpret=True, probe="")
+    np.testing.assert_array_equal(np.asarray(u_def), np.asarray(u_emp))
+    np.testing.assert_array_equal(np.asarray(c_def.x), np.asarray(c_emp.x))
+
+    for probe in ("lookups", "build", "q0", "warm", "factor", "plant"):
+        c_p, u_p, d_p = megastep(cfg, scfg, track, prm, x_ref, carry0,
+                                 n_sub=4, interpret=True, probe=probe)
+        assert u_p.shape == u_def.shape
+        assert c_p.x.shape == c_def.x.shape
+    # probe='plant' freezes the plant: state must pass through unchanged
+    np.testing.assert_array_equal(np.asarray(c_p.x), np.asarray(carry0.x))
