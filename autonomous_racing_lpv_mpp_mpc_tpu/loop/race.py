@@ -528,6 +528,7 @@ def make_racestep_scan(
     obstacles_arg: bool = False,
     gate_sigma: float = 0.0,     # >0: EKF innovation gating (HIL parity)
     n_sub_ekf: int = 4,          # EKF predict substeps (racestep default)
+    kap_window: bool = False,    # block-local windowed curvature lookup
 ):
     """Build the jitted T-step composed scan ``run(carry0, key)`` once.
 
@@ -550,7 +551,7 @@ def make_racestep_scan(
     return _make_racestep_scan_impl(
         p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
         sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
-        obstacles_arg, gate_sigma, n_sub_ekf)
+        obstacles_arg, gate_sigma, n_sub_ekf, kap_window)
 
 
 class MegaRaceLearnLog(NamedTuple):
@@ -766,7 +767,7 @@ def checkpointed_race_sweep(
 def _make_racestep_scan_impl(
     p, cfg, scfg, track, table, T, mu_true_b, sigma, use_ekf, adapt_mu,
     sim_tire, n_sub, ekf_q, obstacles, interpret, table_arg,
-    obstacles_arg=False, gate_sigma=0.0, n_sub_ekf=4,
+    obstacles_arg=False, gate_sigma=0.0, n_sub_ekf=4, kap_window=False,
 ):
     from ..ops.megastep_kernel import megastep_params
     from ..ops.racestep_kernel import racestep
@@ -833,7 +834,7 @@ def _make_racestep_scan_impl(
                 sim_tire=sim_tire,
                 use_ekf=use_ekf, adapt_mu=adapt_mu,
                 gate_sigma=gate_sigma, interpret=interpret,
-                eyb=eyb,
+                eyb=eyb, kap_window=kap_window,
             )
             out = (car2.xg, car2.x_prev_f, u0, diag[5], diag[2], z,
                    diag[4], diag[0])

@@ -651,6 +651,7 @@ def _megastep_kernel(
     has_eyb: bool = False, cache_build: bool = False,
     cache_drift_tol: float = 0.02, cache_max_age: int = 8,
     probe: str = "",
+    kap_back: int = 0, kap_chunks: int = 0,   # >0: windowed local lookup
 ):
     s_idx, _ey_idx = model_s_ey(model)
     if has_eyb:
@@ -673,7 +674,13 @@ def _megastep_kernel(
     rho = rho_ref[0]
     B = rho.shape[-1]
     x_now = x_ref[...]
-    kap_at, _length, _inv_ds = _make_kap_at(ktab_ref, taux_ref, n_cells, B)
+    if kap_chunks > 0:
+        kap_at, _length, _inv_ds = _make_kap_at_windowed(
+            ktab_ref, taux_ref, n_cells, B, x_now[s_idx],
+            kap_back, kap_chunks)
+    else:
+        kap_at, _length, _inv_ds = _make_kap_at(ktab_ref, taux_ref,
+                                                n_cells, B)
 
     u0 = _mpc_core(
         x_now, pv, kap_at,
@@ -744,6 +751,61 @@ def megacache_init(cfg: MPCConfig, scfg: SolverConfig, B: int) -> MegaCache:
 _KAP_SINGLE_LEVEL_MAX = 1024   # cells; above this, chunked MXU lookup
 
 
+def _make_kap_at_windowed(ktab_ref, taux_ref, n_cells: int, B: int,
+                          s_now, back: int, n_loc: int):
+    """Block-local WINDOWED curvature lookup (megastep ``kap_window``).
+
+    The r5 fixed-part map (tools/fixedcost.py) prices the N+1 two-level
+    schedule lookups at 0.285 ms/step — each pays a (C, n_chunks) MXU
+    chunk-select — while the whole scheduled horizon spans only
+    ~N*vx_max*dt/ds (~120) cells. So: fetch the ``n_loc`` aligned chunks
+    around the current cell ONCE per step (the table carries an
+    ``(n_loc-1)*C``-cell replicated head, ``_table_inputs_windowed``, so
+    the window never wraps the seam — same construction as the racestep
+    measurement window), then every lookup is a one-hot multiply-reduce
+    over the small (n_loc*C, B) LOCAL table, pure VPU.
+
+    Semantics: EXACT (same value as ``_make_kap_at``) for every s whose
+    cell lies inside the fetched chunks — by construction at least
+    ``back`` cells behind and ``(n_loc-1)*C - back`` ahead of the
+    current cell, sized by the caller to cover any bounds-respecting
+    schedule with margin. Cells OUTSIDE the fetched window clamp to the
+    window edge (wrong kappa) — reachable only by diverged/unconverged
+    schedules that already trigger the limp-home fallback; hence the
+    knob is opt-in (default off) and the parity test drives it through
+    the ordinary closed loop."""
+    f32 = jnp.float32
+    ktab = ktab_ref[...]
+    n_chunks, C = ktab.shape
+    length = taux_ref[0, 0]
+    inv_ds = taux_ref[1, 0]
+    sm = s_now - length * jnp.floor(s_now / length)
+    i0 = jnp.clip((sm * inv_ds).astype(jnp.int32), 0, n_cells - 1)
+    base = i0 - back
+    base = jnp.where(base < 0, base + n_cells, base)         # (B,)
+    j0 = base // C
+    row_chunk = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, B), 0)
+    locs = []
+    for t in range(n_loc):
+        ohj = (row_chunk == (j0 + t)[None, :]).astype(f32)
+        locs.append(jax.lax.dot_general(
+            ktab, ohj, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))
+    loc = jnp.concatenate(locs, axis=0)                      # (n_loc*C, B)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_loc * C, B), 0)
+    base_row = j0 * C                                        # ext row of loc[0]
+
+    def kap_at(s):
+        smq = s - length * jnp.floor(s / length)
+        idx = jnp.clip((smq * inv_ds).astype(jnp.int32), 0, n_cells - 1)
+        e = jnp.where(idx < base, idx + n_cells, idx)
+        local = jnp.clip(e - base_row, 0, n_loc * C - 1)
+        oh = (rows == local[None, :]).astype(f32)
+        return (loc * oh).sum(axis=0)
+
+    return kap_at, length, inv_ds
+
+
 def _table_inputs(track: Track):
     """Dense curvature table as kernel operands + (2, 1) aux
     [length, 1/ds]. Short tracks ship as an (n_pad, 1) column for the
@@ -762,6 +824,25 @@ def _table_inputs(track: Track):
         ktab = jnp.concatenate(
             [track.kappa, jnp.zeros((n_pad - n,), jnp.float32)]
         ).reshape(n_pad // C, C)
+    taux = jnp.stack([track.length, 1.0 / track.ds])[:, None]
+    return ktab, taux, n
+
+
+def _table_inputs_windowed(track: Track, head_chunks: int):
+    """Two-level curvature table with a ``head_chunks * 128``-cell
+    REPLICATED HEAD (cells [n, n+h) repeat cells [0, h)) for the
+    block-local windowed lookup (``kap_window``): the per-step chunk
+    window around the current cell then never wraps the track-end seam
+    in table space (same construction as the racestep pose tables)."""
+    C = 128
+    n = track.kappa.shape[0]
+    h = head_chunks * C
+    assert n > h, "kap_window needs a track longer than its replica head"
+    n_pad = -(-(n + h) // C) * C
+    ktab = jnp.concatenate([
+        track.kappa, track.kappa[:h],
+        jnp.zeros((n_pad - n - h,), jnp.float32),
+    ]).reshape(n_pad // C, C)
     taux = jnp.stack([track.length, 1.0 / track.ds])[:, None]
     return ktab, taux, n
 
@@ -834,6 +915,9 @@ def megastep(
     probe: str = "",           # cost-attribution: drop ONE fixed stage
                                # (lookups/build/q0/warm/factor/plant);
                                # outputs are GARBAGE — timing only
+    kap_window: bool = False,  # block-local windowed curvature lookup
+                               # (see _make_kap_at_windowed; exact inside
+                               # the schedule window, opt-in)
 ):
     """One full closed-loop step for every scenario, in one kernel launch.
 
@@ -870,7 +954,27 @@ def megastep(
         return leaf
 
     xref_bl = megastep_refs(cfg, x_ref, carry)
-    ktab, taux, n_cells = _table_inputs(track)
+    C = 128
+    n_track = track.kappa.shape[0]
+    # the windowed lookup only applies to the two-level layout (short
+    # tracks already use the cheap single-level VPU fetch) and needs the
+    # track to be longer than its replica head
+    kap_back, kap_chunks = 0, 0
+    if kap_window and n_track > _KAP_SINGLE_LEVEL_MAX:
+        kap_back = 8
+        # worst-case forward schedule span: N stages at vx_max, plus the
+        # plant substep advance and slack for soft-split overshoot
+        ahead = int(-(-N * float(cfg.bounds.vx_max) * float(cfg.dt)
+                      // float(track.ds))) + 24
+        kap_chunks = (kap_back + ahead + C - 1) // C + 1
+        if n_track > (kap_chunks - 1) * C:
+            ktab, taux, n_cells = _table_inputs_windowed(
+                track, kap_chunks - 1)
+        else:
+            kap_back, kap_chunks = 0, 0
+            ktab, taux, n_cells = _table_inputs(track)
+    else:
+        ktab, taux, n_cells = _table_inputs(track)
 
     has_eyb = eyb is not None
     eyb_ins = (padl(jnp.asarray(eyb, f32)),) if has_eyb else ()
@@ -913,6 +1017,7 @@ def megastep(
         cache_drift_tol=float(scfg.cache_drift_tol),
         cache_max_age=int(scfg.cache_max_age),
         probe=probe,
+        kap_back=kap_back, kap_chunks=kap_chunks,
     )
     assert not (probe and cache_build), \
         "probe is a timing instrument; it does not compose with cache_build"

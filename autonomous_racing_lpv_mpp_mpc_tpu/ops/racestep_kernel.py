@@ -137,6 +137,7 @@ def _racestep_kernel(
     fd_eps: float, has_eyb: bool,
     use_table_refs: bool = False, n_ref: int = 0,
     per_lane_refs: bool = False, ref_single_level: bool = False,
+    kap_back: int = 0, kap_chunks: int = 0,   # >0: windowed local lookup
 ):
     f32 = jnp.float32
     if has_eyb:
@@ -158,7 +159,19 @@ def _racestep_kernel(
     pv = unpack_params(prm_ref)
     rho = rho_ref[0]
     B = rho.shape[-1]
-    kap_at, length, inv_ds = _make_kap_at(ktab_ref, taux_ref, n_cells, B)
+    if kap_chunks > 0:
+        # block-local windowed lookup around the EKF's s hint (see
+        # megastep_kernel._make_kap_at_windowed): every composed-stage
+        # consumer — the measurement's projection correction at s_w (within
+        # win_cells of the hint), the EKF substeps, the tracker schedule —
+        # stays inside the window by the same sizing as the tracker's
+        from .megastep_kernel import _make_kap_at_windowed
+        kap_at, length, inv_ds = _make_kap_at_windowed(
+            ktab_ref, taux_ref, n_cells, B, ekx_ref[4],
+            kap_back, kap_chunks)
+    else:
+        kap_at, length, inv_ds = _make_kap_at(ktab_ref, taux_ref,
+                                              n_cells, B)
     ds = 1.0 / inv_ds
     xg = xg_ref[...]
     ekx = ekx_ref[...]
@@ -613,6 +626,7 @@ def racestep(
     block: int = PALLAS_BLOCK,
     unroll_sweeps: bool = True,
     eyb=None,                    # optional (N+1, 2, B) e_y corridor
+    kap_window: bool = False,    # block-local windowed curvature lookup
 ):
     """One composed deployment step for every lane, in one kernel launch.
 
@@ -680,7 +694,31 @@ def racestep(
         ref_single = False
         xref_bl = megastep_refs(cfg, x_ref,
                                 _RefView(x=carry.ekx, X_pred=carry.X_pred))
-    ktab, taux, n_cells = _table_inputs(track)
+    from .megastep_kernel import (
+        _KAP_SINGLE_LEVEL_MAX,
+        _table_inputs_windowed,
+    )
+
+    C = 128
+    n_track = track.kappa.shape[0]
+    kap_back, kap_chunks = 0, 0
+    if kap_window and n_track > _KAP_SINGLE_LEVEL_MAX:
+        # back margin 24 cells: the hint (EKF s) trails/leads the measured
+        # s_w by < ~10 cells per frame in a healthy loop (predict-side
+        # hint; glitches hit z, not the hint) — 24 covers it with slack.
+        # Forward sized exactly like the tracker's window.
+        kap_back = 24
+        ahead = int(-(-cfg.N * float(cfg.bounds.vx_max) * float(cfg.dt)
+                      // float(track.ds))) + 24
+        kap_chunks = (kap_back + ahead + C - 1) // C + 1
+        if n_track > (kap_chunks - 1) * C:
+            ktab, taux, n_cells = _table_inputs_windowed(
+                track, kap_chunks - 1)
+        else:
+            kap_back, kap_chunks = 0, 0
+            ktab, taux, n_cells = _table_inputs(track)
+    else:
+        ktab, taux, n_cells = _table_inputs(track)
     xtab, ytab, ptab = _pose_table_inputs(track)
     win_cells = max(2, int(window_m / float(track.ds)))
 
@@ -725,6 +763,7 @@ def racestep(
         win_cells=win_cells, fd_eps=3e-3, has_eyb=has_eyb,
         use_table_refs=use_table_refs, n_ref=n_ref,
         per_lane_refs=per_lane_refs, ref_single_level=ref_single,
+        kap_back=kap_back, kap_chunks=kap_chunks,
     )
 
     NA = NX + NU

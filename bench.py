@@ -60,14 +60,17 @@ def main():
     #              (OSQP's early-termination semantics, PERF.md r4)
     #   check=N    termination-check cadence override
     #   cache=0|1  build-stage discretization caching (PERF.md r5)
+    #   kapw=0|1   block-local windowed curvature lookup (PERF.md r5
+    #              fixed-part map; bit-exact to the default lookup on the
+    #              closed loop — tests/test_megastep.py)
     knobs = {}
     for arg in sys.argv[4:]:
         if "=" not in arg:
             raise SystemExit(f"bench.py: expected key=value, got {arg!r}")
         k, v = arg.split("=", 1)
-        if k not in ("ee", "check", "cache"):
+        if k not in ("ee", "check", "cache", "kapw"):
             raise SystemExit(f"bench.py: unknown knob {k!r} "
-                             "(have: ee, check, cache)")
+                             "(have: ee, check, cache, kapw)")
         knobs[k] = int(v)
     early_exit = bool(knobs.get("ee", 1))
     # default cadence: 2 with early exit (finer exit granularity, +3%
@@ -77,6 +80,9 @@ def main():
     # discretization caching (shift-reuse of the LPV+Van Loan build with a
     # drift trigger, PERF.md r5) — mega backend only
     cache_build = bool(knobs.get("cache", 0))
+    # windowed lookup default ON: bit-exact to the default lookup on the
+    # closed loop (tested), +16% measured (PERF.md r5 fixed-part map)
+    kap_window = bool(knobs.get("kapw", 1))
 
     p = VehicleParams()
     cfg = MPCConfig(N=20, model="dynamic")
@@ -110,7 +116,7 @@ def main():
                         car_i, cache_i = c
                         car2, _u0, diag, cache2 = megastep(
                             cfg, scfg, track, prm, x_ref, car_i, n_sub=4,
-                            cache=cache_i,
+                            cache=cache_i, kap_window=kap_window,
                         )
                         # cache.age row 0: >0 means the build was reused
                         return (car2, cache2), (
@@ -129,7 +135,8 @@ def main():
                 del xs
                 def body(car_i, _):
                     car2, _u0, diag = megastep(
-                        cfg, scfg, track, prm, x_ref, car_i, n_sub=4
+                        cfg, scfg, track, prm, x_ref, car_i, n_sub=4,
+                        kap_window=kap_window,
                     )
                     return car2, (jnp.mean(diag[2]), jnp.mean(diag[4]))
 

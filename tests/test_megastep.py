@@ -408,3 +408,32 @@ def test_megastep_probe_statics_run_and_default_is_identity():
         assert c_p.x.shape == c_def.x.shape
     # probe='plant' freezes the plant: state must pass through unchanged
     np.testing.assert_array_equal(np.asarray(c_p.x), np.asarray(carry0.x))
+
+
+@pytest.mark.slow
+def test_megastep_kap_window_bitexact_closed_loop():
+    """The block-local windowed curvature lookup (megastep
+    ``kap_window=True``, the r5 fixed-part map's 0.285 ms lever) must be
+    BIT-IDENTICAL to the default two-level lookup through a closed-loop
+    run on the two-level-layout racetrack — including a lane starting
+    near the track-end seam (the replicated head's case). Bit-identity is
+    the acceptance argument: every oracle/parity result for the default
+    kernel transfers verbatim."""
+    p, p_b, cfg, track, x_ref, x0 = _setup()
+    # spread lanes incl. near-seam start; the window construction covers
+    # any bounds-respecting schedule by sizing, so equality must be exact
+    x0 = x0.at[:, 4].set(jnp.array([0.3, 12.7, 31.6, 22.4]))
+    scfg = SolverConfig(max_iter=20, early_exit=True, check_termination=2,
+                        rho_interval=0)
+    prm = megastep_params(p_b, B)
+    ca = megastep_init(p_b, cfg, track, x0)
+    cb = megastep_init(p_b, cfg, track, x0)
+    for _ in range(12):
+        ca, ua, _ = megastep(cfg, scfg, track, prm, x_ref, ca, n_sub=4,
+                             interpret=True)
+        cb, ub, _ = megastep(cfg, scfg, track, prm, x_ref, cb, n_sub=4,
+                             interpret=True, kap_window=True)
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+        np.testing.assert_array_equal(np.asarray(ca.x), np.asarray(cb.x))
+    # the loop actually progressed (non-trivial equality)
+    assert float(jnp.min(jnp.abs(ca.x[0]))) > 0.5

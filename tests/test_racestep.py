@@ -557,3 +557,44 @@ def test_racestep_measurement_matches_windowed_transform():
                                    err_msg=f"lane {i} (cell {cells[i]})")
         np.testing.assert_allclose(float(z[5, i]), float(ey_ref), atol=2e-5)
         np.testing.assert_allclose(float(z[3, i]), float(ep_ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_racestep_kap_window_bitexact():
+    """racestep(kap_window=True) — the block-local windowed curvature
+    lookup — must be BIT-IDENTICAL to the default two-level lookup over a
+    short composed run on the two-level-layout racetrack (all consumers:
+    measurement projection, EKF substeps, tracker schedule). Bit-identity
+    transfers every composed parity/oracle result to the windowed form."""
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.lap_learning import (
+        initial_table as _itab,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.loop.race import (
+        make_racestep_scan,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.ops.racestep_kernel import (
+        racestep_init,
+    )
+    from autonomous_racing_lpv_mpp_mpc_tpu.track import racetrack
+
+    track = racetrack()                  # 1,590 cells: two-level layout
+    cfg = MPCConfig(N=8, model="dynamic", tire="pacejka")
+    scfg = SolverConfig(max_iter=10, early_exit=True, check_termination=2,
+                        rho_interval=0)
+    table = _itab(track, ds=0.05, vx0=1.2)
+    B = 3
+    mu_b = jnp.array([0.6, 0.85, 1.1], jnp.float32)
+    x0 = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(1.2)
+    x0 = x0.at[:, 4].set(jnp.array([0.5, 15.0, 31.5]))   # incl. near-seam
+    sigma = np.array([0.02, 0.01, 0.01, 0.01, 0.01, 0.01], np.float32)
+    p_nom = P.replace(mu=jnp.asarray(0.85, jnp.float32))
+    outs = {}
+    for kw in (False, True):
+        carry = racestep_init(P, cfg, track, x0, 0.85)
+        run = make_racestep_scan(p_nom, cfg, scfg, track, table, 6,
+                                 mu_b, sigma, interpret=True,
+                                 kap_window=kw)
+        c, o = run(carry, jax.random.PRNGKey(3))
+        outs[kw] = (np.asarray(c.xg), np.asarray(c.fr), np.asarray(o[1]))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
