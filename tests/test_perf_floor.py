@@ -46,11 +46,15 @@ XLA_FLOOR = 18_000.0
 # 1.49 M at the K=100 protocol (1.58 M at K=500, after the single-level
 # VPU ref fetch + forward-diff EKF Jacobian) — floor ~10% under.
 RACE_FLOOR = 1_330_000.0
+# r5 late: block-local windowed curvature lookup (kap_window, the bench
+# default via kapw=1) — measured 2,920,808 at K=100 (3,189,619 at the
+# K=500 headline protocol) — floor ~10% under the K=100 measurement.
+MEGA_KAPW_FLOOR = 2_600_000.0
 LATENCY_BUDGET_MS = 33.3  # one control period at dt = 1/30
 
 
 def _throughput(backend: str, B: int = 4096, K: int = 10,
-                early_exit: bool = False) -> float:
+                early_exit: bool = False, kap_window: bool = False) -> float:
     from autonomous_racing_lpv_mpp_mpc_tpu.core import (
         MPCConfig,
         SolverConfig,
@@ -89,7 +93,7 @@ def _throughput(backend: str, B: int = 4096, K: int = 10,
         def k_steps(carries):
             def body(c, _):
                 c2, _u0, diag = megastep(cfg, scfg, track, prm, x_ref, c,
-                                         n_sub=4)
+                                         n_sub=4, kap_window=kap_window)
                 return c2, jnp.mean(diag[2])
 
             return jax.lax.scan(body, carries, None, length=K)
@@ -192,6 +196,15 @@ def test_megastep_early_exit_throughput_floor():
     thr = _throughput("mega", K=MEGA_K, early_exit=True)
     assert thr >= MEGA_EE_FLOOR, (
         f"early-exit megastep regressed: {thr:,.0f} < {MEGA_EE_FLOOR:,.0f}")
+
+
+def test_megastep_kap_window_throughput_floor():
+    """The bench-default windowed-lookup path (kap_window, bit-exact to
+    the two-level lookup on the closed loop) holds its own floor."""
+    thr = _throughput("mega", K=MEGA_K, early_exit=True, kap_window=True)
+    assert thr >= MEGA_KAPW_FLOOR, (
+        f"windowed-lookup megastep regressed: {thr:,.0f} < "
+        f"{MEGA_KAPW_FLOOR:,.0f}")
 
 
 def test_megastep_compile_time_budget():
