@@ -247,7 +247,7 @@ def race_loop(
             replan_every, jnp.full((1,), mu_true, f32), sig,
             use_ekf=use_ekf, adapt_mu=adapt_mu, sim_tire=sim_tire,
             n_sub=n_sub, ekf_q=ekf_q, table_arg=True,
-            obstacles_arg=has_obs, interpret=interpret)
+            obstacles_arg=has_obs, interpret=interpret, kap_window=True)
         mcarry = racestep_init(p, cfg, track, jnp.asarray(x0, f32)[None],
                                mu0)
         segment = None
@@ -468,6 +468,8 @@ def mega_race_sweep(
     ekf_q=None,
     obstacles=None,              # optional (n_obs, 4) corridor blocks
     interpret: bool = False,
+    kap_window: bool = True,     # windowed curvature lookup (bit-exact on
+                                 # the closed loop, +5% — PERF.md r5)
 ) -> BatchedRaceLog:
     """The composed deployment sweep AT KERNEL RATE (VERDICT r4 missing #1):
     same contract as :func:`batched_race_sweep`, but every step — windowed
@@ -501,6 +503,7 @@ def mega_race_sweep(
         jnp.asarray(mu_true_b, f32), sig,
         use_ekf=use_ekf, adapt_mu=adapt_mu, sim_tire=sim_tire,
         n_sub=n_sub, ekf_q=ekf_q, obstacles=obstacles, interpret=interpret,
+        kap_window=kap_window,
     )
     _, (Xg, Xf, U, mu_hat, conv, _z, _it, _r) = run(carry0, key)
     bf = lambda a: jnp.moveaxis(a, -1, 0)      # (T, ., B) -> (B, T, .)
@@ -624,7 +627,7 @@ def mega_race_learn(
         p_nom, cfg, scfg, track, None, T_window,
         jnp.asarray(mu_true_b, f32), sig, sim_tire=sim_tire, n_sub=n_sub,
         ekf_q=ekf_q, obstacles=obstacles, interpret=interpret,
-        table_arg=True,
+        table_arg=True, kap_window=True,
     )
     wraps = _wraps_needed(
         float(cfg.bounds.vx_max),
@@ -719,7 +722,7 @@ def checkpointed_race_sweep(
     p_nom = p.replace(mu=jnp.asarray(mu0, f32))
     run = make_racestep_scan(p_nom, cfg, scfg, track, table, save_every,
                              jnp.asarray(mu_true_b, f32), sig,
-                             interpret=interpret)
+                             interpret=interpret, kap_window=True)
 
     @jax.jit
     def chunk(carry, k, acc):

@@ -215,6 +215,7 @@ def sharded_race_sweep(
     noise_sigma=None,
     key=None,
     interpret: bool = False,
+    kap_window: bool = True,        # match mega_race_sweep's default
 ):
     """The COMPOSED deployment sweep (racestep kernel) sharded over the
     scenario mesh axis: each device runs its lane shard's full measurement
@@ -242,7 +243,7 @@ def sharded_race_sweep(
         carry0 = racestep_init(p, cfg, track, x0_l, mu0)
         run = make_racestep_scan(
             p_nom, cfg, scfg, track, table, T, mu_l, sig,
-            interpret=interpret)
+            interpret=interpret, kap_window=kap_window)
         _, (Xg, Xf, U, mu_hat, conv, _z, _it, _r) = run(carry0, key_l[0])
         Xf_bf = jnp.moveaxis(Xf, -1, 0)          # (b_local, T, 6)
         mu_bf = jnp.moveaxis(mu_hat, -1, 0)      # (b_local, T)

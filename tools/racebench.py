@@ -77,7 +77,7 @@ def main():
         p_nom = p.replace(mu=jnp.asarray(0.85, jnp.float32))
         carry0 = racestep_init(p, cfg, track, x0, 0.85)
         run = make_racestep_scan(p_nom, cfg, scfg, track, table, K,
-                                 mu_b, sigma)
+                                 mu_b, sigma, kap_window=True)
         t0 = time.perf_counter()
         carry, outs = run(carry0, jax.random.PRNGKey(0))
         jax.block_until_ready(carry.xg)
